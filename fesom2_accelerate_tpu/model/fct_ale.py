@@ -1,0 +1,146 @@
+"""Single-device FCT-ALE solver driver.
+
+The TPU analogue of the reference's orchestration layer
+(src/fesom2-accelerate.cu:258-379) — but where the reference splits the chain
+into pre/inter/post-comm phases with per-variable H2D/D2H transfers and
+stream/event ordering, here the whole step is ONE jitted function on
+device-resident state: the reference's per-step transfer overhead
+(src/fesom2-accelerate.cu:268,338-339,355,364-365,378) has no equivalent.
+
+The phase split survives as three composable functions (``pre_comm``,
+``inter_comm``, ``post_comm``) because the multi-device path
+(fesom2_accelerate_tpu.parallel) inserts the halo exchange between them,
+exactly where host FESOM2 calls ``exchange_nod`` (docs/refactoring.md:200,235).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from fesom2_accelerate_tpu.config import FctAleConfig
+from fesom2_accelerate_tpu.mesh.topology import Mesh
+from fesom2_accelerate_tpu.ops import stages
+from fesom2_accelerate_tpu.ops.meshdata import MeshData, build_mesh_data
+
+
+def pre_comm(md: MeshData, cfg: FctAleConfig, ttf, fct_LO, fct_adf_v,
+             fct_adf_h):
+    """Stages a1..b2 -> limiter factors (reference
+    fct_ale_pre_comm_acc_, src/fesom2-accelerate.cu:258-340)."""
+    tmax, tmin = stages.a1(md, fct_LO, ttf)
+    UV_max, UV_min = stages.a2(md, tmax, tmin, cfg.bignumber)
+    tmax2, tmin2 = stages.a3(md, UV_max, UV_min, tmax, fct_LO, cfg.vlimit)
+    fct_plus, fct_minus = stages.b1_vertical(md, fct_adf_v)
+    fct_plus, fct_minus = stages.b1_horizontal(
+        md, fct_plus, fct_minus, fct_adf_h
+    )
+    fct_plus, fct_minus = stages.b2(
+        md, fct_plus, fct_minus, tmax2, tmin2, cfg.dt, cfg.flux_eps
+    )
+    return dict(
+        fct_ttf_max=tmax2, fct_ttf_min=tmin2,
+        fct_plus=fct_plus, fct_minus=fct_minus,
+    )
+
+
+def inter_comm(md: MeshData, cfg: FctAleConfig, fct_plus, fct_minus,
+               fct_adf_v):
+    """b3 vertical — node-local work the reference overlaps with the MPI
+    wait (fct_ale_inter_comm_acc_, src/fesom2-accelerate.cu:342-356)."""
+    return stages.b3_vertical(md, fct_plus, fct_minus, fct_adf_v, cfg.iter_yn)
+
+
+def post_comm(md: MeshData, cfg: FctAleConfig, fct_plus, fct_minus,
+              fct_adf_h):
+    """b3 horizontal, after exchanged limiter factors are available
+    (fct_ale_post_comm_acc_, src/fesom2-accelerate.cu:358-379)."""
+    return stages.b3_horizontal(
+        md, fct_plus, fct_minus, fct_adf_h, cfg.iter_yn
+    )
+
+
+def fct_ale_step(md: MeshData, cfg: FctAleConfig, state: dict) -> dict:
+    """Full a->b->c chain on one device.  ``state`` carries the field dict of
+    :func:`fesom2_accelerate_tpu.mesh.generate.random_fields`."""
+    lim = pre_comm(md, cfg, state["ttf"], state["fct_LO"],
+                   state["fct_adf_v"], state["fct_adf_h"])
+    fct_plus, fct_minus = lim["fct_plus"], lim["fct_minus"]
+    adf_v, adf_v2 = inter_comm(md, cfg, fct_plus, fct_minus,
+                               state["fct_adf_v"])
+    adf_h, adf_h2 = post_comm(md, cfg, fct_plus, fct_minus,
+                              state["fct_adf_h"])
+
+    out = dict(state)
+    out.update(
+        fct_ttf_max=lim["fct_ttf_max"], fct_ttf_min=lim["fct_ttf_min"],
+        fct_plus=fct_plus, fct_minus=fct_minus,
+    )
+    if cfg.iter_yn:
+        new_LO = stages.c_update_LO(
+            md, state["fct_LO"], adf_v, adf_h, state["hnode_new"], cfg.dt
+        )
+        # swap in the residual fluxes for the next FCT iteration
+        # (docs/refactoring.md:287-289)
+        out.update(
+            fct_LO=new_LO, fct_adf_v=adf_v2, fct_adf_h=adf_h2,
+            fct_adf_v_limited=adf_v, fct_adf_h_limited=adf_h,
+        )
+    else:
+        del_v, del_h = stages.c_update_solution(
+            md, state["ttf"], state["hnode"], state["hnode_new"],
+            state["fct_LO"], adf_v, adf_h,
+            state["del_ttf_advvert"], state["del_ttf_advhoriz"], cfg.dt,
+        )
+        out.update(
+            fct_adf_v=adf_v, fct_adf_h=adf_h,
+            del_ttf_advvert=del_v, del_ttf_advhoriz=del_h,
+        )
+    return out
+
+
+class FctAleSolver:
+    """Owns the device-resident mesh data and the jitted step.
+
+    Usage::
+
+        solver = FctAleSolver(mesh, FctAleConfig(dtype=jnp.float32))
+        state = solver.init_state(fields)      # host numpy -> device
+        state = solver.step(state)             # one FCT-ALE step
+        state = solver.run(state, n_steps=10)  # lax.scan'd iteration
+    """
+
+    def __init__(self, mesh: Mesh, cfg: FctAleConfig = FctAleConfig()):
+        self.mesh = mesh
+        self.cfg = cfg
+        self.md = build_mesh_data(mesh, dtype=cfg.dtype)
+        self._step = jax.jit(
+            functools.partial(fct_ale_step, self.md, self.cfg),
+            donate_argnums=(0,),
+        )
+
+    def init_state(self, fields: dict) -> dict:
+        return {
+            k: jnp.asarray(v, dtype=self.cfg.dtype) for k, v in fields.items()
+        }
+
+    def step(self, state: dict) -> dict:
+        return self._step(state)
+
+    def run(self, state: dict, n_steps: int) -> dict:
+        """n_steps of the step function under lax.scan (on-device loop)."""
+
+        def body(s, _):
+            new = fct_ale_step(self.md, self.cfg, s)
+            # scan carry must keep the input structure: drop diagnostics
+            return {k: new[k] for k in s}, None
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def scan_steps(s):
+            s, _ = jax.lax.scan(body, s, None, length=n_steps)
+            return s
+
+        return scan_steps(state)
