@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark: full FCT-ALE step throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "grid-points/s/chip", "vs_baseline": F}
+
+The reference publishes no absolute numbers (BASELINE.md), so ``vs_baseline``
+reports the achieved fraction of HBM speed-of-light computed from the
+reference-style bytes-moved model (runtime/profiling.py) — the same
+effective-bandwidth methodology the reference's kernel_tuner harnesses use
+(kernels/fct_ale_a1.py:93-95).
+
+Usage: python bench.py [--preset core2] [--steps 20] [--dtype f32]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="core2")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
+    ap.add_argument("--iter", action="store_true", help="iterative FCT mode")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fesom2_accelerate_tpu.config import FctAleConfig
+    from fesom2_accelerate_tpu.mesh import generate_planar_mesh, random_fields
+    from fesom2_accelerate_tpu.model.fct_ale import FctAleSolver
+    from fesom2_accelerate_tpu.runtime.profiling import (
+        fct_ale_step_bytes,
+        grid_points,
+        hbm_peak_bytes_per_s,
+    )
+
+    dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
+    if args.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
+
+    mesh = generate_planar_mesh(preset=args.preset)
+    fields = random_fields(mesh, seed=0, dtype=np.float64)
+    cfg = FctAleConfig(dt=0.5, iter_yn=args.iter, dtype=dtype,
+                       flux_eps=1e-16 if args.dtype == "f64" else 1e-7)
+    solver = FctAleSolver(mesh, cfg)
+    state = solver.init_state(fields)
+
+    # warmup (compile)
+    state = solver.step(state)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state = solver.step(state)
+    jax.block_until_ready(state)
+    dt_s = (time.perf_counter() - t0) / args.steps
+
+    gp = grid_points(mesh)
+    gps = gp / dt_s
+    itemsize = 4 if args.dtype == "f32" else 8
+    model_bytes = fct_ale_step_bytes(mesh, itemsize, iter_yn=args.iter)
+    dev = jax.devices()[0]
+    peak = hbm_peak_bytes_per_s(getattr(dev, "device_kind", None))
+    frac_sol = (model_bytes / dt_s) / peak
+
+    print(json.dumps({
+        "metric": f"fct_ale_step_{args.preset}_{args.dtype}",
+        "value": round(gps, 1),
+        "unit": "grid-points/s/chip",
+        "vs_baseline": round(frac_sol, 4),
+        "detail": {
+            "step_ms": round(dt_s * 1e3, 3),
+            "grid_points": gp,
+            "modeled_GB": round(model_bytes / 1e9, 4),
+            "eff_GBps": round(model_bytes / dt_s / 1e9, 1),
+            "device": str(getattr(dev, "device_kind", dev)),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

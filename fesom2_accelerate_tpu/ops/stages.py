@@ -23,8 +23,13 @@ _BIG = 1e30
 
 
 def _gather_nodes(field, idx):
-    """field [L, N] gathered at idx [...] -> [L, *idx.shape]."""
-    return jnp.take(field, idx, axis=1)
+    """field [L, N] gathered at idx [...] -> [L, *idx.shape].
+
+    NOTE: always gathers with a FLAT index vector and reshapes after —
+    multi-dimensional start-index arrays make XLA:TPU's gather lowering
+    explode compile time (>100x) for identical runtime."""
+    flat = jnp.take(field, idx.reshape(-1), axis=1)
+    return flat.reshape(field.shape[:1] + idx.shape)
 
 
 def a1(md: MeshData, fct_LO, ttf):
@@ -48,8 +53,8 @@ def _cluster_reduce(md: MeshData, UV_max, UV_min):
     """Max/min over the element cluster around each node -> [L, N].
 
     Reference kernels/fct_ale_a3.cu:9-24 (the shared-memory CSR loop)."""
-    g_max = jnp.take(UV_max, md.ne_idx, axis=1)  # [L, N, KE]
-    g_min = jnp.take(UV_min, md.ne_idx, axis=1)
+    g_max = _gather_nodes(UV_max, md.ne_idx)  # [L, N, KE]
+    g_min = _gather_nodes(UV_min, md.ne_idx)
     kmask = md.ne_k[None]
     tvert_max = jnp.where(kmask, g_max, -_BIG).max(axis=2)
     tvert_min = jnp.where(kmask, g_min, _BIG).min(axis=2)
@@ -118,8 +123,8 @@ def b1_vertical(md: MeshData, fct_adf_v):
 def b1_horizontal(md: MeshData, fct_plus, fct_minus, fct_adf_h):
     """Deterministic scatter-as-gather replacement for the atomicAdd scatter
     in reference kernels/fct_ale_b1_horizontal.cu:24-27."""
-    x = md.nd_sign[None] * jnp.take(fct_adf_h, md.nd_idx, axis=1)
-    m = md.nd_k[None] & jnp.take(md.edge_mask, md.nd_idx, axis=1)
+    x = md.nd_sign[None] * _gather_nodes(fct_adf_h, md.nd_idx)
+    m = md.nd_k[None] & _gather_nodes(md.edge_mask, md.nd_idx)
     plus = fct_plus + jnp.sum(jnp.where(m, jnp.maximum(0.0, x), 0.0), axis=2)
     minus = fct_minus + jnp.sum(jnp.where(m, jnp.minimum(0.0, x), 0.0), axis=2)
     return plus, minus
@@ -180,8 +185,8 @@ def edge_flux_to_nodes(md: MeshData, fct_adf_h):
 
     The gather form of the reference's c_horizontal atomic scatter
     (kernels/fct_ale_c_horizontal.cu:25-26)."""
-    x = md.nd_sign[None] * jnp.take(fct_adf_h, md.nd_idx, axis=1)
-    m = md.nd_k[None] & jnp.take(md.edge_mask, md.nd_idx, axis=1)
+    x = md.nd_sign[None] * _gather_nodes(fct_adf_h, md.nd_idx)
+    m = md.nd_k[None] & _gather_nodes(md.edge_mask, md.nd_idx)
     return jnp.sum(jnp.where(m, x, 0.0), axis=2)
 
 
@@ -218,15 +223,22 @@ def stress2rhs(md: MeshData, elem_area, ice_strength, sigma11, sigma12,
     coefficient."""
     idx = md.ne_idx  # [N, KE]
     pos = md.ne_pos
-    active = md.ne_k & (jnp.take(ice_strength, idx) > 0.0)
+    E = elem_area.shape[0]
 
-    g_k = gradient_sca[pos, idx]
-    g_k3 = gradient_sca[pos + 3, idx]
-    ea = jnp.take(elem_area, idx)
-    s11 = jnp.take(sigma11, idx)
-    s12 = jnp.take(sigma12, idx)
-    s22 = jnp.take(sigma22, idx)
-    mf3 = jnp.take(metric_factor, idx) * (1.0 / 3.0)
+    def take1(arr, i):
+        # flat-index gather (see _gather_nodes note on XLA:TPU compile time)
+        return jnp.take(arr, i.reshape(-1), axis=0).reshape(i.shape)
+
+    active = md.ne_k & (take1(ice_strength, idx) > 0.0)
+
+    gflat = gradient_sca.reshape(-1)  # [6 * E]
+    g_k = take1(gflat, pos * E + idx)
+    g_k3 = take1(gflat, (pos + 3) * E + idx)
+    ea = take1(elem_area, idx)
+    s11 = take1(sigma11, idx)
+    s12 = take1(sigma12, idx)
+    s22 = take1(sigma22, idx)
+    mf3 = take1(metric_factor, idx) * (1.0 / 3.0)
 
     u_c = -ea * (s11 * g_k + s12 * g_k3 + s12 * mf3)
     v_c = -ea * (s12 * g_k + s22 * g_k3 - s11 * mf3)

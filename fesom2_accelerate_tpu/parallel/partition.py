@@ -1,0 +1,265 @@
+"""Domain decomposition with one-deep node halos.
+
+Re-creates, TPU-side, the distribution contract the reference inherits from
+host FESOM2 (docs/refactoring.md:31,47; include/fesom2-accelerate.h myDim /
+eDim node split, SURVEY §2.6):
+
+* nodes are block-partitioned into P contiguous owned ranges (the generator's
+  row-major numbering is locality-preserving, so blocks are spatial stripes);
+* each part additionally stores a one-deep **halo**: every non-owned node of
+  an element touching an owned node;
+* a part's **local elements** are all elements with >= 1 owned node, and its
+  **local edges** all edges with >= 1 owned endpoint — so every gather needed
+  to produce owned-node results is local, and shared elements/edges are
+  computed redundantly (exactly the reference's redundancy choice: a1 runs on
+  owned+halo nodes, src/fesom2-accelerate.cu:266, so no element exchange is
+  ever needed).
+* the ONLY inter-device communication per step is the exchange of
+  ``fct_plus``/``fct_minus`` halo values between b2 and b3-horizontal
+  (reference: host MPI ``exchange_nod``, docs/refactoring.md:199-200), plus a
+  ``fct_LO`` halo refresh in iterative mode.
+
+All per-part arrays are padded to the maximum size across parts so the
+sharded step has static shapes; padded entities carry ``nlev = 1`` (all
+activity masks false) and index 0.
+
+Local index space per part: columns ``[0, B)`` owned (B = padded owned block
+size), ``[B, B + H)`` halo.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from fesom2_accelerate_tpu.mesh.topology import Mesh
+
+
+@dataclasses.dataclass
+class PartitionedMesh:
+    mesh: Mesh  # the global mesh
+    n_parts: int
+    B: int  # padded owned block size
+    H: int  # padded halo size
+    E_loc: int  # padded local element count
+    Ed_loc: int  # padded local edge count
+
+    owned_count: np.ndarray  # [P]
+    halo_count: np.ndarray  # [P]
+    local_nodes_global: np.ndarray  # [P, B+H] global node id (-1 pad)
+    local_elems_global: np.ndarray  # [P, E_loc] (-1 pad)
+    local_edges_global: np.ndarray  # [P, Ed_loc] (-1 pad)
+    halo_src_part: np.ndarray  # [P, H] owner part of each halo node (0 pad)
+    halo_src_idx: np.ndarray  # [P, H] index in owner's owned block (0 pad)
+
+    local_meshes: list  # list of per-part Mesh with local connectivity
+
+    @property
+    def n_local(self) -> int:
+        return self.B + self.H
+
+
+def partition_mesh(mesh: Mesh, n_parts: int) -> PartitionedMesh:
+    N = mesh.n_nodes
+    bounds = np.linspace(0, N, n_parts + 1).astype(np.int64)
+    owner = np.empty(N, dtype=np.int32)
+    for p in range(n_parts):
+        owner[bounds[p] : bounds[p + 1]] = p
+
+    parts = []
+    for p in range(n_parts):
+        owned = np.arange(bounds[p], bounds[p + 1], dtype=np.int32)
+        owned_set = np.zeros(N, dtype=bool)
+        owned_set[owned] = True
+        # local elements: any owned node
+        e_mask = owned_set[mesh.elem_nodes].any(axis=1)
+        elems = np.nonzero(e_mask)[0].astype(np.int32)
+        # halo: nodes of local elements that are not owned
+        enodes = np.unique(mesh.elem_nodes[elems])
+        halo = enodes[~owned_set[enodes]].astype(np.int32)
+        # local edges: any owned endpoint
+        ed_mask = owned_set[mesh.edges].any(axis=1)
+        eds = np.nonzero(ed_mask)[0].astype(np.int32)
+        parts.append((owned, halo, elems, eds))
+
+    B = max(len(pt[0]) for pt in parts)
+    H = max((len(pt[1]) for pt in parts), default=1)
+    H = max(H, 1)
+    E_loc = max(len(pt[2]) for pt in parts)
+    Ed_loc = max(len(pt[3]) for pt in parts)
+
+    P = n_parts
+    local_nodes_global = np.full((P, B + H), -1, dtype=np.int32)
+    local_elems_global = np.full((P, E_loc), -1, dtype=np.int32)
+    local_edges_global = np.full((P, Ed_loc), -1, dtype=np.int32)
+    owned_count = np.zeros(P, dtype=np.int32)
+    halo_count = np.zeros(P, dtype=np.int32)
+    halo_src_part = np.zeros((P, H), dtype=np.int32)
+    halo_src_idx = np.zeros((P, H), dtype=np.int32)
+    local_meshes = []
+
+    for p, (owned, halo, elems, eds) in enumerate(parts):
+        no, nh = len(owned), len(halo)
+        owned_count[p] = no
+        halo_count[p] = nh
+        local_nodes_global[p, :no] = owned
+        local_nodes_global[p, B : B + nh] = halo
+        local_elems_global[p, : len(elems)] = elems
+        local_edges_global[p, : len(eds)] = eds
+        halo_src_part[p, :nh] = owner[halo]
+        # owner's owned block starts at bounds[owner]; owned blocks are
+        # contiguous, so the in-block index is just the offset
+        halo_src_idx[p, :nh] = halo - bounds[owner[halo]]
+
+        # global -> local node map (owned at [0, no), halo at [B, B+nh))
+        g2l = np.full(N, 0, dtype=np.int32)
+        g2l[owned] = np.arange(no, dtype=np.int32)
+        g2l[halo] = B + np.arange(nh, dtype=np.int32)
+
+        # global -> local edge map for re-indexing node->edge incidence
+        g2l_edge = np.full(mesh.n_edges, -1, dtype=np.int32)
+        g2l_edge[eds] = np.arange(len(eds), dtype=np.int32)
+        g2l_elem = np.full(mesh.n_elems, -1, dtype=np.int32)
+        g2l_elem[elems] = np.arange(len(elems), dtype=np.int32)
+
+        local_meshes.append(
+            _build_local_mesh(
+                mesh, owned, halo, elems, eds, g2l, g2l_elem, g2l_edge,
+                B, H, E_loc, Ed_loc,
+            )
+        )
+
+    return PartitionedMesh(
+        mesh=mesh,
+        n_parts=n_parts,
+        B=B,
+        H=H,
+        E_loc=E_loc,
+        Ed_loc=Ed_loc,
+        owned_count=owned_count,
+        halo_count=halo_count,
+        local_nodes_global=local_nodes_global,
+        local_elems_global=local_elems_global,
+        local_edges_global=local_edges_global,
+        halo_src_part=halo_src_part,
+        halo_src_idx=halo_src_idx,
+        local_meshes=local_meshes,
+    )
+
+
+def _build_local_mesh(mesh, owned, halo, elems, eds, g2l, g2l_elem, g2l_edge,
+                      B, H, E_loc, Ed_loc) -> Mesh:
+    """Re-index the global connectivity into the part's padded local space.
+
+    Padded entities get nlev = 1 / nlev_edge = 0, which makes every activity
+    mask false, and index 0, which is always a valid (owned) slot."""
+    no, nh = len(owned), len(halo)
+    n_loc = B + H
+    L = mesh.n_layers
+
+    # nodes
+    nlev_nod = np.ones(n_loc, dtype=np.int32)
+    nlev_nod[:no] = mesh.nlev_nod[owned]
+    nlev_nod[B : B + nh] = mesh.nlev_nod[halo]
+
+    # elements (local node ids)
+    elem_nodes = np.zeros((E_loc, 3), dtype=np.int32)
+    elem_nodes[: len(elems)] = g2l[mesh.elem_nodes[elems]]
+    nlev_elem = np.ones(E_loc, dtype=np.int32)
+    nlev_elem[: len(elems)] = mesh.nlev_elem[elems]
+
+    # edges (local node ids)
+    edges = np.zeros((Ed_loc, 2), dtype=np.int32)
+    edges[: len(eds)] = g2l[mesh.edges[eds]]
+    nlev_edge = np.zeros(Ed_loc, dtype=np.int32)
+    nlev_edge[: len(eds)] = mesh.nlev_edge[eds]
+
+    # node -> element incidence: complete for owned nodes only; halo and
+    # padded rows carry count 0 (their cluster results are overwritten by
+    # the halo exchange or never read)
+    KE = mesh.node_elems.shape[1]
+    node_elems = np.zeros((n_loc, KE), dtype=np.int32)
+    node_elems_pos = np.zeros((n_loc, KE), dtype=np.int32)
+    node_elems_num = np.zeros(n_loc, dtype=np.int32)
+    ge = mesh.node_elems[owned]  # [no, KE] global elems (-1 pad)
+    le = np.where(ge >= 0, g2l_elem[np.where(ge >= 0, ge, 0)], -1)
+    assert (le[ge >= 0] >= 0).all(), "owned node touches non-local element"
+    node_elems[:no] = np.where(le >= 0, le, 0)
+    node_elems_pos[:no] = np.where(
+        mesh.node_elems_pos[owned] >= 0, mesh.node_elems_pos[owned], 0
+    )
+    node_elems_num[:no] = mesh.node_elems_num[owned]
+
+    # node -> edge incidence: same owned-only contract
+    KD = mesh.node_edges.shape[1]
+    node_edges = np.zeros((n_loc, KD), dtype=np.int32)
+    node_edges_sign = np.zeros((n_loc, KD), dtype=np.int8)
+    node_edges_num = np.zeros(n_loc, dtype=np.int32)
+    gd = mesh.node_edges[owned]
+    ld = np.where(gd >= 0, g2l_edge[np.where(gd >= 0, gd, 0)], -1)
+    assert (ld[gd >= 0] >= 0).all(), "owned node touches non-local edge"
+    node_edges[:no] = np.where(ld >= 0, ld, 0)
+    node_edges_sign[:no] = np.where(
+        gd >= 0, mesh.node_edges_sign[owned], 0
+    )
+    node_edges_num[:no] = mesh.node_edges_num[owned]
+
+    # geometry
+    node_xy = np.zeros((n_loc, 2))
+    node_xy[:no] = mesh.node_xy[owned]
+    node_xy[B : B + nh] = mesh.node_xy[halo]
+    area = np.ones((mesh.nl, n_loc))
+    area[:, :no] = mesh.area[:, owned]
+    area[:, B : B + nh] = mesh.area[:, halo]
+
+    return Mesh(
+        nl=mesh.nl,
+        elem_nodes=elem_nodes,
+        edges=edges,
+        edge_tri=np.full((Ed_loc, 2), -1, dtype=np.int32),  # unused downstream
+        nlev_elem=nlev_elem,
+        nlev_nod=nlev_nod,
+        nlev_edge=nlev_edge,
+        node_elems=node_elems,
+        node_elems_pos=node_elems_pos,
+        node_elems_num=node_elems_num,
+        node_edges=node_edges,
+        node_edges_sign=node_edges_sign,
+        node_edges_num=node_edges_num,
+        node_xy=node_xy,
+        area=area,
+        area_inv=1.0 / area,
+    )
+
+
+def scatter_node_field(pm: PartitionedMesh, field: np.ndarray) -> np.ndarray:
+    """Global [*, N] node field -> per-part [P, *, B+H] (pad columns = 0)."""
+    idx = np.where(pm.local_nodes_global >= 0, pm.local_nodes_global, 0)
+    out = field[..., idx]  # [*, P, B+H]
+    out = np.moveaxis(out, -2, 0)
+    mask = pm.local_nodes_global >= 0
+    out = out * mask.reshape((out.shape[0],) + (1,) * (out.ndim - 2) + (-1,))
+    return np.ascontiguousarray(out)
+
+
+def scatter_edge_field(pm: PartitionedMesh, field: np.ndarray) -> np.ndarray:
+    """Global [*, Ed] edge field -> per-part [P, *, Ed_loc]."""
+    idx = np.where(pm.local_edges_global >= 0, pm.local_edges_global, 0)
+    out = field[..., idx]
+    out = np.moveaxis(out, -2, 0)
+    mask = pm.local_edges_global >= 0
+    out = out * mask.reshape((out.shape[0],) + (1,) * (out.ndim - 2) + (-1,))
+    return np.ascontiguousarray(out)
+
+
+def gather_node_field(pm: PartitionedMesh, local: np.ndarray) -> np.ndarray:
+    """Per-part [P, *, B+H] -> global [*, N] using owned columns only."""
+    N = pm.mesh.n_nodes
+    lead = local.shape[1:-1]
+    out = np.zeros(lead + (N,), dtype=local.dtype)
+    for p in range(pm.n_parts):
+        no = pm.owned_count[p]
+        gids = pm.local_nodes_global[p, :no]
+        out[..., gids] = local[p, ..., :no]
+    return out

@@ -1,0 +1,94 @@
+"""Sharded (8 virtual devices) vs single-device FCT-ALE: the multi-domain
+contract the reference never tested in-repo (SURVEY §4.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fesom2_accelerate_tpu.config import FctAleConfig
+from fesom2_accelerate_tpu.mesh import generate_planar_mesh, random_fields
+from fesom2_accelerate_tpu.model.fct_ale import FctAleSolver
+from fesom2_accelerate_tpu.parallel import ShardedFctAleSolver, partition_mesh
+from fesom2_accelerate_tpu.parallel import partition as part_mod
+
+from conftest import masked_allclose
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = generate_planar_mesh(preset="small")
+    fields = random_fields(mesh, seed=3)
+    return mesh, fields
+
+
+def test_partition_covers_mesh(setup):
+    mesh, _ = setup
+    pm = partition_mesh(mesh, 4)
+    # every node owned exactly once
+    owned_all = np.concatenate([
+        pm.local_nodes_global[p, : pm.owned_count[p]]
+        for p in range(pm.n_parts)
+    ])
+    assert sorted(owned_all.tolist()) == list(range(mesh.n_nodes))
+    # halo sources point at the right global nodes
+    for p in range(pm.n_parts):
+        nh = pm.halo_count[p]
+        for h in range(nh):
+            gid = pm.local_nodes_global[p, pm.B + h]
+            src = pm.halo_src_part[p, h]
+            assert pm.local_nodes_global[src, pm.halo_src_idx[p, h]] == gid
+
+
+def test_scatter_gather_roundtrip(setup):
+    mesh, fields = setup
+    pm = partition_mesh(mesh, 4)
+    loc = part_mod.scatter_node_field(pm, fields["ttf"])
+    back = part_mod.gather_node_field(pm, loc)
+    np.testing.assert_array_equal(back, fields["ttf"])
+
+
+@pytest.mark.parametrize("iter_yn", [False, True])
+def test_sharded_matches_single(setup, iter_yn):
+    mesh, fields = setup
+    cfg = FctAleConfig(dt=0.7, iter_yn=iter_yn, dtype=jnp.float64)
+
+    ref_solver = FctAleSolver(mesh, cfg)
+    ref_out = ref_solver.step(ref_solver.init_state(fields))
+
+    sh = ShardedFctAleSolver(mesh, cfg)
+    assert sh.n_parts == 8
+    out = sh.step(sh.init_state(fields))
+
+    node_keys = ["fct_plus", "fct_minus", "fct_ttf_max", "fct_ttf_min"]
+    node_keys += (
+        ["fct_LO"] if iter_yn else ["del_ttf_advvert", "del_ttf_advhoriz"]
+    )
+    for k in node_keys:
+        got = sh.gather_node(out[k])
+        masked_allclose(got, np.asarray(ref_out[k]), rtol=1e-12, atol=1e-12,
+                        msg=f"sharded[{k}] iter={iter_yn}")
+    # vertical fluxes are node fields too (interface layout)
+    got = sh.gather_node(out["fct_adf_v"])
+    masked_allclose(got, np.asarray(ref_out["fct_adf_v"]), rtol=1e-12,
+                    atol=1e-12, msg="sharded[fct_adf_v]")
+
+
+def test_sharded_multistep(setup):
+    """Iterative mode carries fct_LO across steps through the halo refresh."""
+    mesh, fields = setup
+    cfg = FctAleConfig(dt=0.3, iter_yn=True, dtype=jnp.float64)
+    n_steps = 3
+
+    ref_solver = FctAleSolver(mesh, cfg)
+    ref_state = ref_solver.run(ref_solver.init_state(fields), n_steps)
+
+    sh = ShardedFctAleSolver(mesh, cfg)
+    state = sh.run(sh.init_state(fields), n_steps)
+
+    masked_allclose(sh.gather_node(state["fct_LO"]),
+                    np.asarray(ref_state["fct_LO"]),
+                    rtol=1e-11, atol=1e-12, msg="fct_LO after steps")
+    masked_allclose(sh.gather_node(state["fct_adf_v"]),
+                    np.asarray(ref_state["fct_adf_v"]),
+                    rtol=1e-11, atol=1e-12, msg="fct_adf_v after steps")
