@@ -52,14 +52,13 @@ def main():
     solver = FctAleSolver(mesh, cfg)
     state = solver.init_state(fields)
 
-    # warmup (compile)
-    state = solver.step(state)
-    jax.block_until_ready(state)
+    # warmup compiles the same length-N scan the timed call reuses
+    out = solver.run(state, args.steps)
+    jax.block_until_ready(out)
 
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state = solver.step(state)
-    jax.block_until_ready(state)
+    out = solver.run(state, args.steps)
+    jax.block_until_ready(out)
     dt_s = (time.perf_counter() - t0) / args.steps
 
     gp = grid_points(mesh)

@@ -1,0 +1,393 @@
+"""Pallas TPU kernels for the gather/scatter-heavy FCT-ALE stages.
+
+Every irregular mesh access is a **one-hot contraction on the MXU** against a
+VMEM-resident window of the source array (see plan.py for the windowing).
+Gathers select columns of a level-major slab; scatters use the transposed
+one-hot so the edge->node accumulation (the reference's atomicAdd hot spot,
+kernels/fct_ale_b1_horizontal.cu:24-27) is a deterministic matmul sum.
+
+Windowing: each tile reads TWO adjacent W-blocks of the source (plan.py) —
+covers any index span <= W regardless of alignment.  Window slabs arrive as
+two block-pipelined inputs per source array; contractions run chunked to
+bound the one-hot's VMEM footprint.
+
+Layouts inside kernels:
+* level-major slabs ``[Lp, W]`` / stacked pairs ``[2*Lp, W]`` (max/min or
+  plus/minus stacked on the sublane axis so one contraction serves both);
+* one-hot matrices built in-kernel from index rows via ``broadcasted_iota``
+  compares — nothing index-shaped ever round-trips to HBM;
+* ``k``-major column layout for multi-gathers, so per-k slices are
+  contiguous lanes and reductions need no lane reshape.
+
+All kernels are f32 (the TPU perf dtype); the f64 correctness gate runs on
+the XLA path against the numpy oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30
+_CHUNK = 1024  # window chunk for one-hot contractions (bounds VMEM use)
+
+
+def _lcol(ref):
+    """Read a [1, C, 1] tile-column block -> [C, 1]."""
+    return ref[0]
+
+
+def _row_iota(shape):
+    return lax.broadcasted_iota(jnp.int32, shape, 0)
+
+
+def _col_iota(shape):
+    return lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+def _gather_dot(slabs, lidx_col, W, C, neutral=None):
+    """Gather columns from a two-block window via transposed one-hot.
+
+    slabs: (slab0, slab1) each [R, W]; lidx_col [C, 1] in [0, 2W] rebased to
+    block0's start (2W = invalid sentinel).  The one-hot is built as [C, w]
+    (ids broadcast along lanes — the natural TPU broadcast) and contracted
+    with dot_general over the window axis.  Returns [R, C].
+
+    neutral=(top, bottom, Lp): appends a 128-wide in-kernel column block at
+    base 2W whose rows < Lp hold ``top`` and the rest ``bottom`` — gathers of
+    the sentinel index then yield the reduction-neutral value."""
+    chunk = min(W, _CHUNK)
+    pieces = []
+    for b, slab in enumerate(slabs):
+        for c0 in range(0, W, chunk):
+            pieces.append((slab[:, c0:c0 + chunk], b * W + c0, chunk))
+    if neutral is not None:
+        top, bottom, Lp = neutral
+        R = slabs[0].shape[0]
+        extra = jnp.where(_row_iota((R, 128)) < Lp, top, bottom)
+        pieces.append((extra, 2 * W, 128))
+    acc = None
+    for slab_c, base, ch in pieces:
+        ohT = ((_col_iota((C, ch)) + base) == lidx_col).astype(jnp.float32)
+        part = jax.lax.dot_general(
+            slab_c, ohT, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGH,
+        )
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _scatter_dot(slabs, ids_cols, t0, W, TN):
+    """Scatter rows of a two-block window into TN targets.
+
+    slabs: (slab0, slab1) each [R, W]; ids_cols: (ids0, ids1) each [W, 1]
+    global target ids per window row (-1 = none); targets t0..t0+TN-1.
+    Returns [R, TN]."""
+    chunk = min(W, _CHUNK)
+    acc = None
+    for slab, ids in zip(slabs, ids_cols):
+        for c0 in range(0, W, chunk):
+            cols = _col_iota((chunk, TN)) + t0
+            A = (ids[c0:c0 + chunk, :] == cols).astype(jnp.float32)
+            part = jnp.dot(slab[:, c0:c0 + chunk], A,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGH)
+            acc = part if acc is None else acc + part
+    return acc
+
+
+def _win_specs(block_shape, n):
+    """n pairs of BlockSpecs for two-block windowed inputs.
+
+    The scalar-prefetch array wb is [T, 2]: column 0 = first block index,
+    column 1 = second."""
+    specs = []
+    for _ in range(n):
+        specs.append(pl.BlockSpec(block_shape, lambda i, wb: (0, wb[i, 0])))
+        specs.append(pl.BlockSpec(block_shape, lambda i, wb: (0, wb[i, 1])))
+    return specs
+
+
+def _win_specs_col(block_shape, n):
+    """Same for sublane-major [W, 1] windowed inputs."""
+    specs = []
+    for _ in range(n):
+        specs.append(pl.BlockSpec(block_shape, lambda i, wb: (wb[i, 0], 0)))
+        specs.append(pl.BlockSpec(block_shape, lambda i, wb: (wb[i, 1], 0)))
+    return specs
+
+
+# --------------------------------------------------------------------------
+# a2: element bounds — gather fct_ttf_max/min at 3 nodes, max/min, pad with
+# +-bignumber (reference src/reference.cpp:321-351, kernels/fct_ale_a2.cu)
+# --------------------------------------------------------------------------
+
+
+def _a2_kernel(wb_ref, lidx_ref, nlev_ref, src0_ref, src1_ref, out_ref, *,
+               Lp, TE, W, big):
+    g = _gather_dot((src0_ref[:], src1_ref[:]), _lcol(lidx_ref), W, 3 * TE)
+    gmax, gmin = g[:Lp], g[Lp:]
+    m3 = jnp.maximum(jnp.maximum(gmax[:, :TE], gmax[:, TE:2 * TE]),
+                     gmax[:, 2 * TE:])
+    n3 = jnp.minimum(jnp.minimum(gmin[:, :TE], gmin[:, TE:2 * TE]),
+                     gmin[:, 2 * TE:])
+    mask = _row_iota((Lp, TE)) < (nlev_ref[:] - 1)
+    out_ref[:Lp] = jnp.where(mask, m3, -big)
+    out_ref[Lp:] = jnp.where(mask, n3, big)
+
+
+def a2_pallas(src_stacked, lidx, wb, nlev_elem_row, *, tile, window,
+              bignumber):
+    """src_stacked [2Lp, Np] (tmax; tmin) -> UV stacked [2Lp, Ep]."""
+    Lp2, Np = src_stacked.shape
+    Lp = Lp2 // 2
+    T, C, _ = lidx.shape
+    TE = tile
+    assert C == 3 * TE
+    Ep = T * TE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
+            pl.BlockSpec((1, TE), lambda i, wb: (0, i)),
+            *_win_specs((Lp2, window), 1),
+        ],
+        out_specs=pl.BlockSpec((Lp2, TE), lambda i, wb: (0, i)),
+    )
+    kernel = functools.partial(_a2_kernel, Lp=Lp, TE=TE, W=window,
+                               big=bignumber)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Lp2, Ep), jnp.float32),
+    )(wb, lidx, nlev_elem_row, src_stacked, src_stacked)
+
+
+# --------------------------------------------------------------------------
+# a3 (vlimit=1): cluster reduce over surrounding elements + 3-level vertical
+# window - fct_LO (reference src/reference.cpp:353-392, kernels/fct_ale_a3.cu)
+# --------------------------------------------------------------------------
+
+
+def _a3_kernel(wb_ref, lidx_ref, nlev_ref, lo_ref, src0_ref,
+               src1_ref, out_ref, *, Lp, TN, K, W):
+    slabs = (src0_ref[:], src1_ref[:])
+    lidx = _lcol(lidx_ref)
+    neutral = (-_BIG, _BIG, Lp)
+    acc_max = jnp.full((Lp, TN), -_BIG, jnp.float32)
+    acc_min = jnp.full((Lp, TN), _BIG, jnp.float32)
+    for k in range(K):
+        sl = slice(k * TN, (k + 1) * TN)
+        g = _gather_dot(slabs, lidx[sl], W, TN, neutral=neutral)
+        acc_max = jnp.maximum(acc_max, g[:Lp])
+        acc_min = jnp.minimum(acc_min, g[Lp:])
+
+    negrow = jnp.full((1, TN), -_BIG, jnp.float32)
+    posrow = jnp.full((1, TN), _BIG, jnp.float32)
+    up_max = jnp.concatenate([negrow, acc_max[:-1]], axis=0)
+    dn_max = jnp.concatenate([acc_max[1:], negrow], axis=0)
+    up_min = jnp.concatenate([posrow, acc_min[:-1]], axis=0)
+    dn_min = jnp.concatenate([acc_min[1:], posrow], axis=0)
+    wmax = jnp.maximum(jnp.maximum(up_max, acc_max), dn_max)
+    wmin = jnp.minimum(jnp.minimum(up_min, acc_min), dn_min)
+
+    z = _row_iota((Lp, TN))
+    nlev = nlev_ref[:]
+    plain = (z == 0) | (z >= nlev - 2)
+    sel_max = jnp.where(plain, acc_max, wmax)
+    sel_min = jnp.where(plain, acc_min, wmin)
+    active = z < (nlev - 1)
+    lo = lo_ref[:]
+    out_ref[:Lp] = jnp.where(active, sel_max - lo, 0.0)
+    out_ref[Lp:] = jnp.where(active, sel_min - lo, 0.0)
+
+
+def a3_pallas(uv_stacked, lidx, wb, nlev_nod_row, fct_LO_pad, *,
+              tile, window, K):
+    """uv_stacked [2Lp, Ep] -> fct_ttf stacked [2Lp, Np] (vlimit=1)."""
+    Lp2, Ep = uv_stacked.shape
+    Lp = Lp2 // 2
+    T, C, _ = lidx.shape
+    TN = tile
+    assert C == K * TN
+    Np = T * TN
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
+            pl.BlockSpec((1, TN), lambda i, wb: (0, i)),
+            pl.BlockSpec((Lp, TN), lambda i, wb: (0, i)),
+            *_win_specs((Lp2, window), 1),
+        ],
+        out_specs=pl.BlockSpec((Lp2, TN), lambda i, wb: (0, i)),
+    )
+    kernel = functools.partial(_a3_kernel, Lp=Lp, TN=TN, K=K, W=window)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Lp2, Np), jnp.float32),
+    )(wb, lidx, nlev_nod_row, fct_LO_pad, uv_stacked, uv_stacked)
+
+
+# --------------------------------------------------------------------------
+# b1 horizontal: edge->node scatter of split fluxes as transposed one-hot
+# contraction (reference kernels/fct_ale_b1_horizontal.cu:24-27, atomicAdd)
+# --------------------------------------------------------------------------
+
+
+def _split_pq(adf_ref, nlevw_ref, Lp, W):
+    z = _row_iota((Lp, W))
+    emask = z < nlevw_ref[:]
+    F = jnp.where(emask, adf_ref[:], 0.0)
+    return jnp.concatenate([jnp.maximum(F, 0.0), jnp.maximum(-F, 0.0)],
+                           axis=0)
+
+
+def _b1h_kernel(wb_ref, pm_ref, adf0_ref, adf1_ref, s0_ref, s1_ref, e0_ref,
+                e1_ref, nw0_ref, nw1_ref, out_ref, *, Lp, TN, W):
+    PQ = (_split_pq(adf0_ref, nw0_ref, Lp, W),
+          _split_pq(adf1_ref, nw1_ref, Lp, W))
+    t0 = pl.program_id(0) * TN
+    G_s = _scatter_dot(PQ, (s0_ref[:], s1_ref[:]), t0, W, TN)
+    G_e = _scatter_dot(PQ, (e0_ref[:], e1_ref[:]), t0, W, TN)
+    out_ref[:Lp] = pm_ref[:Lp] + G_s[:Lp] + G_e[Lp:]
+    out_ref[Lp:] = pm_ref[Lp:] - G_s[Lp:] - G_e[:Lp]
+
+
+def b1h_pallas(pm_stacked, adf_h_pad, starts_col, ends_col, nlev_edge_row,
+               wb, *, tile, window):
+    """pm_stacked [2Lp, Np] (+= edge contributions) via edge windows.
+
+    starts_col/ends_col: [Edp, 1] int32 endpoint ids (-1 padding);
+    nlev_edge_row: [1, Edp]."""
+    Lp2, Np = pm_stacked.shape
+    Lp = Lp2 // 2
+    TN = tile
+    T = Np // TN
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((Lp2, TN), lambda i, wb: (0, i)),
+            *_win_specs((Lp, window), 1),
+            *_win_specs_col((window, 1), 2),
+            *_win_specs((1, window), 1),
+        ],
+        out_specs=pl.BlockSpec((Lp2, TN), lambda i, wb: (0, i)),
+    )
+    kernel = functools.partial(_b1h_kernel, Lp=Lp, TN=TN, W=window)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Lp2, Np), jnp.float32),
+    )(wb, pm_stacked, adf_h_pad, adf_h_pad, starts_col, starts_col,
+      ends_col, ends_col, nlev_edge_row, nlev_edge_row)
+
+
+# --------------------------------------------------------------------------
+# b3 horizontal: limit edge fluxes by gathered endpoint factors
+# (reference kernels/fct_ale_b3_horizontal.cu:28-39)
+# --------------------------------------------------------------------------
+
+
+def _b3h_kernel(wb_ref, lidx_ref, nlev_ref, adf_ref, src0_ref, src1_ref,
+                out_ref, resid_ref, *, Lp, TE, W):
+    slabs = (src0_ref[:], src1_ref[:])
+    lidx = _lcol(lidx_ref)
+    g1 = _gather_dot(slabs, lidx[:TE], W, TE)
+    g2 = _gather_dot(slabs, lidx[TE:], W, TE)
+    p1, m1 = g1[:Lp], g1[Lp:]
+    p2, m2 = g2[:Lp], g2[Lp:]
+    F = adf_ref[:]
+    ae_pos = jnp.minimum(1.0, jnp.minimum(p1, m2))
+    ae_neg = jnp.minimum(1.0, jnp.minimum(m1, p2))
+    ae = jnp.where(F >= 0.0, ae_pos, ae_neg)
+    emask = _row_iota((Lp, TE)) < nlev_ref[:]
+    out_ref[:] = jnp.where(emask, ae * F, F)
+    resid_ref[:] = jnp.where(emask, (1.0 - ae) * F, 0.0)
+
+
+def b3h_pallas(pm_stacked, adf_h_pad, lidx, wb, nlev_edge_row, *, tile,
+               window):
+    """Returns (limited adf_h [Lp, Edp], residual (1-ae)*f [Lp, Edp])."""
+    Lp2, Np = pm_stacked.shape
+    Lp = Lp2 // 2
+    TE = tile
+    T, C, _ = lidx.shape
+    assert C == 2 * TE
+    Edp = T * TE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
+            pl.BlockSpec((1, TE), lambda i, wb: (0, i)),
+            pl.BlockSpec((Lp, TE), lambda i, wb: (0, i)),
+            *_win_specs((Lp2, window), 1),
+        ],
+        out_specs=(
+            pl.BlockSpec((Lp, TE), lambda i, wb: (0, i)),
+            pl.BlockSpec((Lp, TE), lambda i, wb: (0, i)),
+        ),
+    )
+    kernel = functools.partial(_b3h_kernel, Lp=Lp, TE=TE, W=window)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((Lp, Edp), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Edp), jnp.float32),
+        ),
+    )(wb, lidx, nlev_edge_row, adf_h_pad, pm_stacked, pm_stacked)
+
+
+# --------------------------------------------------------------------------
+# c horizontal: signed sum of incident edge fluxes per node (reference
+# kernels/fct_ale_c_horizontal.cu:25-26, atomicAdd) — one +-1 contraction
+# --------------------------------------------------------------------------
+
+
+def _ch_kernel(wb_ref, adf0_ref, adf1_ref, s0_ref, s1_ref, e0_ref, e1_ref,
+               nw0_ref, nw1_ref, out_ref, *, Lp, TN, W):
+    def masked(adf_ref, nw_ref):
+        emask = _row_iota((Lp, W)) < nw_ref[:]
+        return jnp.where(emask, adf_ref[:], 0.0)
+
+    F = (masked(adf0_ref, nw0_ref), masked(adf1_ref, nw1_ref))
+    t0 = pl.program_id(0) * TN
+    G_s = _scatter_dot(F, (s0_ref[:], s1_ref[:]), t0, W, TN)
+    G_e = _scatter_dot(F, (e0_ref[:], e1_ref[:]), t0, W, TN)
+    out_ref[:] = G_s - G_e
+
+
+def ch_pallas(adf_h_pad, starts_col, ends_col, nlev_edge_row, wb, *,
+              n_nodes_pad, tile, window):
+    """Signed incident-edge flux sum -> [Lp, Np]."""
+    Lp, Edp = adf_h_pad.shape
+    TN = tile
+    T = n_nodes_pad // TN
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            *_win_specs((Lp, window), 1),
+            *_win_specs_col((window, 1), 2),
+            *_win_specs((1, window), 1),
+        ],
+        out_specs=pl.BlockSpec((Lp, TN), lambda i, wb: (0, i)),
+    )
+    kernel = functools.partial(_ch_kernel, Lp=Lp, TN=TN, W=window)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Lp, n_nodes_pad), jnp.float32),
+    )(wb, adf_h_pad, adf_h_pad, starts_col, starts_col, ends_col, ends_col,
+      nlev_edge_row, nlev_edge_row)

@@ -143,9 +143,10 @@ class ShardedFctAleSolver:
             in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
             out_specs=P(axis_name),
         )
+        # no donate_argnums: see model/fct_ale.py — donation degrades
+        # XLA:TPU compile and run time drastically for this program shape
         self._step = jax.jit(
-            functools.partial(smapped, self.md, self.src_part, self.src_idx),
-            donate_argnums=(0,),
+            functools.partial(smapped, self.md, self.src_part, self.src_idx)
         )
         self._local_step = local_step
         self._smapped = smapped
@@ -174,13 +175,18 @@ class ShardedFctAleSolver:
         return self._step(state)
 
     def run(self, state: dict, n_steps: int) -> dict:
-        def body(s, _):
-            new = self._smapped(self.md, self.src_part, self.src_idx, s)
-            return {k: new[k] for k in s}, None
+        if not hasattr(self, "_scan_cache"):
+            self._scan_cache = {}
+        if n_steps not in self._scan_cache:
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def scan_steps(s):
-            s, _ = jax.lax.scan(body, s, None, length=n_steps)
-            return s
+            def body(s, _):
+                new = self._smapped(self.md, self.src_part, self.src_idx, s)
+                return {k: new[k] for k in s}, None
 
-        return scan_steps(state)
+            @jax.jit
+            def scan_steps(s):
+                s, _ = jax.lax.scan(body, s, None, length=n_steps)
+                return s
+
+            self._scan_cache[n_steps] = scan_steps
+        return self._scan_cache[n_steps](state)
