@@ -27,10 +27,15 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     ap.add_argument("--iter", action="store_true", help="iterative FCT mode")
+    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: repeated bench invocations skip compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_f2t")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from fesom2_accelerate_tpu.config import FctAleConfig
     from fesom2_accelerate_tpu.mesh import generate_planar_mesh, random_fields
@@ -49,16 +54,19 @@ def main():
     fields = random_fields(mesh, seed=0, dtype=np.float64)
     cfg = FctAleConfig(dt=0.5, iter_yn=args.iter, dtype=dtype,
                        flux_eps=1e-16 if args.dtype == "f64" else 1e-7)
-    solver = FctAleSolver(mesh, cfg)
+    solver = FctAleSolver(mesh, cfg, backend=args.backend)
     state = solver.init_state(fields)
 
+    def sync(out):
+        # a device->host value read is the only reliable completion barrier
+        # on the tunneled TPU backend (block_until_ready can return early)
+        return float(jnp.sum(out["fct_adf_h"]))
+
     # warmup compiles the same length-N scan the timed call reuses
-    out = solver.run(state, args.steps)
-    jax.block_until_ready(out)
+    sync(solver.run(state, args.steps))
 
     t0 = time.perf_counter()
-    out = solver.run(state, args.steps)
-    jax.block_until_ready(out)
+    sync(solver.run(state, args.steps))
     dt_s = (time.perf_counter() - t0) / args.steps
 
     gp = grid_points(mesh)
@@ -70,7 +78,7 @@ def main():
     frac_sol = (model_bytes / dt_s) / peak
 
     print(json.dumps({
-        "metric": f"fct_ale_step_{args.preset}_{args.dtype}",
+        "metric": f"fct_ale_step_{args.preset}_{args.dtype}_{args.backend}",
         "value": round(gps, 1),
         "unit": "grid-points/s/chip",
         "vs_baseline": round(frac_sol, 4),

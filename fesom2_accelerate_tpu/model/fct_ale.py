@@ -111,16 +111,46 @@ class FctAleSolver:
         state = solver.init_state(fields)      # host numpy -> device
         state = solver.step(state)             # one FCT-ALE step
         state = solver.run(state, n_steps=10)  # lax.scan'd iteration
-    """
 
-    def __init__(self, mesh: Mesh, cfg: FctAleConfig = FctAleConfig()):
+    backend: "xla" (jnp stages, any dtype — the f64 correctness path) or
+    "pallas" (windowed one-hot MXU kernels for the irregular stages,
+    f32-only — the TPU performance path, ops/pallas/)."""
+
+    def __init__(self, mesh: Mesh, cfg: FctAleConfig = FctAleConfig(),
+                 backend: str = "xla"):
         self.mesh = mesh
         self.cfg = cfg
-        self.md = build_mesh_data(mesh, dtype=cfg.dtype)
+        self.backend = backend
+        # CRITICAL: mesh data is passed as a jit ARGUMENT, never closed over.
+        # Closure-captured device arrays are inlined into the HLO as literal
+        # constants, which makes XLA/Mosaic compiles orders of magnitude
+        # slower (measured 287s vs 0.6s for one identical Pallas kernel) and
+        # adds per-call dispatch overhead.
+        if backend == "pallas":
+            from fesom2_accelerate_tpu.ops.pallas import step as pstep
+
+            assert cfg.dtype == jnp.float32, "pallas backend is f32-only"
+            self.pd, self.ps = pstep.build_pallas_data(mesh)
+            self.md = self.pd.md
+            self._mesh_arg = self.pd
+            ps, c = self.ps, self.cfg
+
+            def step_fn(mesh_arg, state):
+                return pstep.fct_ale_step_pallas(mesh_arg, ps, c, state)
+
+        else:
+            self.md = build_mesh_data(mesh, dtype=cfg.dtype)
+            self._mesh_arg = self.md
+            c = self.cfg
+
+            def step_fn(mesh_arg, state):
+                return fct_ale_step(mesh_arg, c, state)
+
+        self._step_fn = step_fn
         # NOTE: no donate_argnums — buffer donation makes XLA:TPU compile the
         # gather-heavy step ~60x slower and the compiled step ~50x slower on
         # this backend (measured: 309s/64ms vs 4.7s/1.1ms per pi-mesh step)
-        self._step = jax.jit(functools.partial(fct_ale_step, self.md, self.cfg))
+        self._step = jax.jit(step_fn)
 
     def init_state(self, fields: dict) -> dict:
         return {
@@ -128,23 +158,24 @@ class FctAleSolver:
         }
 
     def step(self, state: dict) -> dict:
-        return self._step(state)
+        return self._step(self._mesh_arg, state)
 
     def run(self, state: dict, n_steps: int) -> dict:
         """n_steps of the step function under lax.scan (on-device loop)."""
         if not hasattr(self, "_scan_cache"):
             self._scan_cache = {}
         if n_steps not in self._scan_cache:
-
-            def body(s, _):
-                new = fct_ale_step(self.md, self.cfg, s)
-                # scan carry must keep the input structure: drop diagnostics
-                return {k: new[k] for k in s}, None
+            step_fn = self._step_fn
 
             @jax.jit
-            def scan_steps(s):
+            def scan_steps(mesh_arg, s):
+                def body(c, _):
+                    new = step_fn(mesh_arg, c)
+                    # carry keeps the input structure: drop diagnostics
+                    return {k: new[k] for k in c}, None
+
                 s, _ = jax.lax.scan(body, s, None, length=n_steps)
                 return s
 
             self._scan_cache[n_steps] = scan_steps
-        return self._scan_cache[n_steps](state)
+        return self._scan_cache[n_steps](self._mesh_arg, state)

@@ -23,7 +23,8 @@ class Stress2RhsSolver:
         self.mesh = mesh
         self.dtype = dtype
         self.md = build_mesh_data(mesh, dtype=dtype)
-        self._fn = jax.jit(functools.partial(stages.stress2rhs, self.md))
+        # md as argument, not closure (HLO-constant-inlining footgun)
+        self._fn = jax.jit(stages.stress2rhs)
 
     def __call__(self, elem_area, ice_strength, sigma11, sigma12, sigma22,
                  gradient_sca, metric_factor, inv_areamass, rhs_a, rhs_m):
@@ -32,4 +33,4 @@ class Stress2RhsSolver:
             for a in (elem_area, ice_strength, sigma11, sigma12, sigma22,
                       gradient_sca, metric_factor, inv_areamass, rhs_a, rhs_m)
         ]
-        return self._fn(*args)
+        return self._fn(self.md, *args)

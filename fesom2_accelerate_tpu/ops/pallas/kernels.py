@@ -50,37 +50,57 @@ def _col_iota(shape):
     return lax.broadcasted_iota(jnp.int32, shape, 1)
 
 
-def _gather_dot(slabs, lidx_col, W, C, neutral=None):
-    """Gather columns from a two-block window via transposed one-hot.
+def _split3(x):
+    """Exact 3-way bf16 decomposition of an f32 array: x = hi + mid + lo.
 
-    slabs: (slab0, slab1) each [R, W]; lidx_col [C, 1] in [0, 2W] rebased to
-    block0's start (2W = invalid sentinel).  The one-hot is built as [C, w]
-    (ids broadcast along lanes — the natural TPU broadcast) and contracted
-    with dot_general over the window axis.  Returns [R, C].
+    Each component is exactly representable in bf16, so a DEFAULT-precision
+    MXU contraction against a 0/1 one-hot is EXACT per term: Mosaic's
+    default f32 dot is a single lossy bf16 pass, its HIGH precision is
+    unsupported, and HIGHEST explodes compile time — this explicit split
+    compiles as fast as default and restores exactness."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    mid = (x - hi).astype(jnp.bfloat16).astype(jnp.float32)
+    lo = x - hi - mid
+    return (hi, mid, lo)
 
-    neutral=(top, bottom, Lp): appends a 128-wide in-kernel column block at
-    base 2W whose rows < Lp hold ``top`` and the rest ``bottom`` — gathers of
-    the sentinel index then yield the reduction-neutral value."""
+
+def _gather_pieces(slabs, W, neutral=None):
+    """Split two-block window slabs into exact bf16 pieces with base offsets.
+
+    Returns a list of (part, base, width).  neutral=(top, bottom, Lp)
+    appends a 128-wide column block at base 2W holding the reduction-neutral
+    values (rows < Lp: top; else bottom) selected by the sentinel index."""
     chunk = min(W, _CHUNK)
     pieces = []
     for b, slab in enumerate(slabs):
         for c0 in range(0, W, chunk):
-            pieces.append((slab[:, c0:c0 + chunk], b * W + c0, chunk))
+            for part in _split3(slab[:, c0:c0 + chunk]):
+                pieces.append((part, b * W + c0, chunk))
     if neutral is not None:
         top, bottom, Lp = neutral
         R = slabs[0].shape[0]
         extra = jnp.where(_row_iota((R, 128)) < Lp, top, bottom)
-        pieces.append((extra, 2 * W, 128))
+        for part in _split3(extra):
+            pieces.append((part, 2 * W, 128))
+    return pieces
+
+
+def _gather_from_pieces(pieces, lidx_col, C):
+    """Gather columns: contract each piece against its one-hot -> [R, C]."""
     acc = None
-    for slab_c, base, ch in pieces:
+    for part, base, ch in pieces:
         ohT = ((_col_iota((C, ch)) + base) == lidx_col).astype(jnp.float32)
-        part = jax.lax.dot_general(
-            slab_c, ohT, (((1,), (1,)), ((), ())),
+        g = jax.lax.dot_general(
+            part, ohT, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
         )
-        acc = part if acc is None else acc + part
+        acc = g if acc is None else acc + g
     return acc
+
+
+def _gather_dot(slabs, lidx_col, W, C, neutral=None):
+    """Gather columns from a two-block window (see _gather_pieces)."""
+    return _gather_from_pieces(_gather_pieces(slabs, W, neutral), lidx_col, C)
 
 
 def _scatter_dot(slabs, ids_cols, t0, W, TN):
@@ -88,17 +108,16 @@ def _scatter_dot(slabs, ids_cols, t0, W, TN):
 
     slabs: (slab0, slab1) each [R, W]; ids_cols: (ids0, ids1) each [W, 1]
     global target ids per window row (-1 = none); targets t0..t0+TN-1.
-    Returns [R, TN]."""
+    Returns [R, TN].  Exact products via _split3."""
     chunk = min(W, _CHUNK)
     acc = None
     for slab, ids in zip(slabs, ids_cols):
         for c0 in range(0, W, chunk):
             cols = _col_iota((chunk, TN)) + t0
             A = (ids[c0:c0 + chunk, :] == cols).astype(jnp.float32)
-            part = jnp.dot(slab[:, c0:c0 + chunk], A,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGH)
-            acc = part if acc is None else acc + part
+            for part in _split3(slab[:, c0:c0 + chunk]):
+                g = jnp.dot(part, A, preferred_element_type=jnp.float32)
+                acc = g if acc is None else acc + g
     return acc
 
 
@@ -179,15 +198,21 @@ def a2_pallas(src_stacked, lidx, wb, nlev_elem_row, *, tile, window,
 def _a3_kernel(wb_ref, lidx_ref, nlev_ref, lo_ref, src0_ref,
                src1_ref, out_ref, *, Lp, TN, K, W):
     slabs = (src0_ref[:], src1_ref[:])
-    lidx = _lcol(lidx_ref)
-    neutral = (-_BIG, _BIG, Lp)
+    # ONE contraction per window piece covering all K neighbor slots at once
+    # (C = K*TN columns, k-major), then a static slice-reduce over k — keeps
+    # the dot count at 9 regardless of node degree and feeds the MXU large
+    # contractions.  The sentinel gathers the neutral block: -BIG for the
+    # max half, +BIG for the min half.
+    g = _gather_from_pieces(
+        _gather_pieces(slabs, W, neutral=(-_BIG, _BIG, Lp)),
+        _lcol(lidx_ref), K * TN,
+    )
     acc_max = jnp.full((Lp, TN), -_BIG, jnp.float32)
     acc_min = jnp.full((Lp, TN), _BIG, jnp.float32)
     for k in range(K):
         sl = slice(k * TN, (k + 1) * TN)
-        g = _gather_dot(slabs, lidx[sl], W, TN, neutral=neutral)
-        acc_max = jnp.maximum(acc_max, g[:Lp])
-        acc_min = jnp.minimum(acc_min, g[Lp:])
+        acc_max = jnp.maximum(acc_max, g[:Lp, sl])
+        acc_min = jnp.minimum(acc_min, g[Lp:, sl])
 
     negrow = jnp.full((1, TN), -_BIG, jnp.float32)
     posrow = jnp.full((1, TN), _BIG, jnp.float32)
@@ -243,21 +268,34 @@ def a3_pallas(uv_stacked, lidx, wb, nlev_nod_row, fct_LO_pad, *,
 # --------------------------------------------------------------------------
 
 
-def _split_pq(adf_ref, nlevw_ref, Lp, W):
-    z = _row_iota((Lp, W))
-    emask = z < nlevw_ref[:]
-    F = jnp.where(emask, adf_ref[:], 0.0)
-    return jnp.concatenate([jnp.maximum(F, 0.0), jnp.maximum(-F, 0.0)],
-                           axis=0)
-
-
 def _b1h_kernel(wb_ref, pm_ref, adf0_ref, adf1_ref, s0_ref, s1_ref, e0_ref,
                 e1_ref, nw0_ref, nw1_ref, out_ref, *, Lp, TN, W):
-    PQ = (_split_pq(adf0_ref, nw0_ref, Lp, W),
-          _split_pq(adf1_ref, nw1_ref, Lp, W))
+    # fully chunked pipeline (mask -> P/Q -> split3 -> contract) so only
+    # chunk-sized intermediates are live: full-window [2Lp, W] staging blew
+    # the VMEM scoped limit at CORE2 windows
+    chunk = min(W, 512)
     t0 = pl.program_id(0) * TN
-    G_s = _scatter_dot(PQ, (s0_ref[:], s1_ref[:]), t0, W, TN)
-    G_e = _scatter_dot(PQ, (e0_ref[:], e1_ref[:]), t0, W, TN)
+    cols = _col_iota((chunk, TN)) + t0
+    G_s = jnp.zeros((2 * Lp, TN), jnp.float32)
+    G_e = jnp.zeros((2 * Lp, TN), jnp.float32)
+    for adf_ref, s_ref, e_ref, nw_ref in (
+        (adf0_ref, s0_ref, e0_ref, nw0_ref),
+        (adf1_ref, s1_ref, e1_ref, nw1_ref),
+    ):
+        for c0 in range(0, W, chunk):
+            sl = slice(c0, c0 + chunk)
+            emask = _row_iota((Lp, chunk)) < nw_ref[:, sl]
+            F = jnp.where(emask, adf_ref[:, sl], 0.0)
+            PQ = jnp.concatenate(
+                [jnp.maximum(F, 0.0), jnp.maximum(-F, 0.0)], axis=0
+            )
+            A_s = (s_ref[sl, :] == cols).astype(jnp.float32)
+            A_e = (e_ref[sl, :] == cols).astype(jnp.float32)
+            for part in _split3(PQ):
+                G_s = G_s + jnp.dot(part, A_s,
+                                    preferred_element_type=jnp.float32)
+                G_e = G_e + jnp.dot(part, A_e,
+                                    preferred_element_type=jnp.float32)
     out_ref[:Lp] = pm_ref[:Lp] + G_s[:Lp] + G_e[Lp:]
     out_ref[Lp:] = pm_ref[Lp:] - G_s[Lp:] - G_e[:Lp]
 
@@ -301,9 +339,9 @@ def b1h_pallas(pm_stacked, adf_h_pad, starts_col, ends_col, nlev_edge_row,
 def _b3h_kernel(wb_ref, lidx_ref, nlev_ref, adf_ref, src0_ref, src1_ref,
                 out_ref, resid_ref, *, Lp, TE, W):
     slabs = (src0_ref[:], src1_ref[:])
-    lidx = _lcol(lidx_ref)
-    g1 = _gather_dot(slabs, lidx[:TE], W, TE)
-    g2 = _gather_dot(slabs, lidx[TE:], W, TE)
+    # one contraction for both endpoints (k-major columns: [n1 | n2])
+    g = _gather_dot(slabs, _lcol(lidx_ref), W, 2 * TE)
+    g1, g2 = g[:, :TE], g[:, TE:]
     p1, m1 = g1[:Lp], g1[Lp:]
     p2, m2 = g2[:Lp], g2[Lp:]
     F = adf_ref[:]
@@ -357,15 +395,26 @@ def b3h_pallas(pm_stacked, adf_h_pad, lidx, wb, nlev_edge_row, *, tile,
 
 def _ch_kernel(wb_ref, adf0_ref, adf1_ref, s0_ref, s1_ref, e0_ref, e1_ref,
                nw0_ref, nw1_ref, out_ref, *, Lp, TN, W):
-    def masked(adf_ref, nw_ref):
-        emask = _row_iota((Lp, W)) < nw_ref[:]
-        return jnp.where(emask, adf_ref[:], 0.0)
-
-    F = (masked(adf0_ref, nw0_ref), masked(adf1_ref, nw1_ref))
+    # chunked like _b1h_kernel; the +-1 incidence is folded into one matrix
+    chunk = min(W, 512)
     t0 = pl.program_id(0) * TN
-    G_s = _scatter_dot(F, (s0_ref[:], s1_ref[:]), t0, W, TN)
-    G_e = _scatter_dot(F, (e0_ref[:], e1_ref[:]), t0, W, TN)
-    out_ref[:] = G_s - G_e
+    cols = _col_iota((chunk, TN)) + t0
+    acc = jnp.zeros((Lp, TN), jnp.float32)
+    for adf_ref, s_ref, e_ref, nw_ref in (
+        (adf0_ref, s0_ref, e0_ref, nw0_ref),
+        (adf1_ref, s1_ref, e1_ref, nw1_ref),
+    ):
+        for c0 in range(0, W, chunk):
+            sl = slice(c0, c0 + chunk)
+            emask = _row_iota((Lp, chunk)) < nw_ref[:, sl]
+            F = jnp.where(emask, adf_ref[:, sl], 0.0)
+            A = (s_ref[sl, :] == cols).astype(jnp.float32) - (
+                e_ref[sl, :] == cols
+            ).astype(jnp.float32)
+            for part in _split3(F):
+                acc = acc + jnp.dot(part, A,
+                                    preferred_element_type=jnp.float32)
+    out_ref[:] = acc
 
 
 def ch_pallas(adf_h_pad, starts_col, ends_col, nlev_edge_row, wb, *,

@@ -144,10 +144,10 @@ class ShardedFctAleSolver:
             out_specs=P(axis_name),
         )
         # no donate_argnums: see model/fct_ale.py — donation degrades
-        # XLA:TPU compile and run time drastically for this program shape
-        self._step = jax.jit(
-            functools.partial(smapped, self.md, self.src_part, self.src_idx)
-        )
+        # XLA:TPU compile and run time drastically for this program shape.
+        # Mesh data / halo maps are jit ARGUMENTS (closure-captured device
+        # arrays would be inlined as HLO constants -> extreme compile times)
+        self._step = jax.jit(smapped)
         self._local_step = local_step
         self._smapped = smapped
 
@@ -172,21 +172,23 @@ class ShardedFctAleSolver:
 
     # ---- stepping -------------------------------------------------------
     def step(self, state: dict) -> dict:
-        return self._step(state)
+        return self._step(self.md, self.src_part, self.src_idx, state)
 
     def run(self, state: dict, n_steps: int) -> dict:
         if not hasattr(self, "_scan_cache"):
             self._scan_cache = {}
         if n_steps not in self._scan_cache:
-
-            def body(s, _):
-                new = self._smapped(self.md, self.src_part, self.src_idx, s)
-                return {k: new[k] for k in s}, None
+            smapped = self._smapped
 
             @jax.jit
-            def scan_steps(s):
+            def scan_steps(md, src_part, src_idx, s):
+                def body(c, _):
+                    new = smapped(md, src_part, src_idx, c)
+                    return {k: new[k] for k in c}, None
+
                 s, _ = jax.lax.scan(body, s, None, length=n_steps)
                 return s
 
             self._scan_cache[n_steps] = scan_steps
-        return self._scan_cache[n_steps](state)
+        return self._scan_cache[n_steps](self.md, self.src_part,
+                                         self.src_idx, state)

@@ -1,0 +1,78 @@
+"""Pallas kernels vs numpy oracle (interpret mode on CPU, f32).
+
+Per-mesh-scale randomized validation of the windowed one-hot contraction
+kernels — the Pallas analogue of the reference's kernel_tuner answer=
+methodology (kernels/fct_ale_a1.py:91)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from fesom2_accelerate_tpu.config import FctAleConfig
+from fesom2_accelerate_tpu.mesh import generate_planar_mesh, random_fields
+from fesom2_accelerate_tpu.ops import oracle
+from fesom2_accelerate_tpu.ops.pallas.plan import build_gather_plan
+from fesom2_accelerate_tpu.ops.pallas.step import (
+    build_pallas_data,
+    fct_ale_step_pallas,
+)
+
+
+def _relerr(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.abs(a - b).max() / max(np.abs(b).max(), 1.0)
+
+
+def test_gather_plan_covers_all_tiles():
+    mesh = generate_planar_mesh(preset="small")
+    valid = np.ones_like(mesh.elem_nodes, dtype=bool)
+    p = build_gather_plan(mesh.elem_nodes, valid, 256, mesh.n_nodes)
+    assert p.window % 128 == 0
+    # every valid local index lies inside the two-block window
+    assert (p.local_idx[p.valid] < 2 * p.window).all()
+    assert (p.local_idx[~p.valid] == 2 * p.window).all()
+    # local + window start reproduces the original indices
+    T = p.n_tiles
+    base = (p.win_block.astype(np.int64) * p.window)[:, None]
+    rec = (p.local_idx + base).reshape(T, p.K, p.tile).transpose(0, 2, 1)
+    rec = rec.reshape(T * p.tile, p.K)[: mesh.n_elems]
+    np.testing.assert_array_equal(rec, mesh.elem_nodes)
+
+
+@pytest.mark.parametrize("iter_yn", [False, True])
+@pytest.mark.parametrize("seed", [1, 2])
+def test_pallas_step_matches_oracle(iter_yn, seed):
+    mesh = generate_planar_mesh(preset="tiny", seed=seed)
+    pd, ps = build_pallas_data(mesh)
+    fields = random_fields(mesh, seed=seed, dtype=np.float32)
+    s = {k: jnp.asarray(v, jnp.float32) for k, v in fields.items()}
+    cfg = FctAleConfig(dt=0.7, iter_yn=iter_yn, dtype=jnp.float32,
+                       flux_eps=1e-7)
+    with pltpu.force_tpu_interpret_mode():
+        out = fct_ale_step_pallas(pd, ps, cfg, s)
+    ref = oracle.fct_ale_step(
+        mesh, {k: v.astype(np.float64) for k, v in fields.items()},
+        vlimit=1, iter_yn=iter_yn, dt=0.7, flux_eps=1e-7,
+    )
+    for k, v in ref.items():
+        err = _relerr(out[k], v)
+        assert err < 2e-5, f"{k}: relerr {err:.2e} (iter={iter_yn})"
+
+
+def test_pallas_step_vlimit23_fallback():
+    mesh = generate_planar_mesh(preset="tiny")
+    pd, ps = build_pallas_data(mesh)
+    fields = random_fields(mesh, seed=3, dtype=np.float32)
+    s = {k: jnp.asarray(v, jnp.float32) for k, v in fields.items()}
+    cfg = FctAleConfig(dt=0.7, vlimit=2, dtype=jnp.float32, flux_eps=1e-7)
+    with pltpu.force_tpu_interpret_mode():
+        out = fct_ale_step_pallas(pd, ps, cfg, s)
+    ref = oracle.fct_ale_step(
+        mesh, {k: v.astype(np.float64) for k, v in fields.items()},
+        vlimit=2, dt=0.7, flux_eps=1e-7,
+    )
+    for k in ("fct_ttf_max", "fct_adf_h", "del_ttf_advhoriz"):
+        err = _relerr(out[k], ref[k])
+        assert err < 2e-5, f"{k}: relerr {err:.2e}"

@@ -1,0 +1,54 @@
+"""Checkpoint/resume and profiling utilities."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fesom2_accelerate_tpu.config import FctAleConfig
+from fesom2_accelerate_tpu.mesh import generate_planar_mesh, random_fields
+from fesom2_accelerate_tpu.model.fct_ale import FctAleSolver
+from fesom2_accelerate_tpu.runtime.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+)
+
+from conftest import masked_allclose
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_mesh):
+    mesh = tiny_mesh
+    cfg = FctAleConfig(dt=0.3, iter_yn=True, dtype=jnp.float64)
+    solver = FctAleSolver(mesh, cfg)
+    state = solver.run(solver.init_state(random_fields(mesh, seed=1)), 2)
+
+    save_checkpoint(tmp_path / "ck", state, mesh, cfg, step=2)
+    restored, step = load_checkpoint(tmp_path / "ck", mesh, cfg)
+    assert step == 2
+    for k in state:
+        np.testing.assert_array_equal(np.asarray(state[k]), restored[k])
+
+    # resumed run continues identically to an uninterrupted one
+    cont = solver.run(solver.init_state(restored), 2)
+    full = solver.run(solver.init_state(random_fields(mesh, seed=1)), 4)
+    masked_allclose(np.asarray(cont["fct_LO"]), np.asarray(full["fct_LO"]),
+                    rtol=1e-12, atol=1e-14, msg="resume continuity")
+
+
+def test_checkpoint_rejects_wrong_mesh(tmp_path, tiny_mesh, toy_mesh):
+    cfg = FctAleConfig(dtype=jnp.float64)
+    solver = FctAleSolver(tiny_mesh, cfg)
+    state = solver.init_state(random_fields(tiny_mesh, seed=0))
+    save_checkpoint(tmp_path / "ck", state, tiny_mesh, cfg)
+    with pytest.raises(ValueError):
+        load_checkpoint(tmp_path / "ck", toy_mesh, cfg)
+
+
+def test_time_stages_report(tiny_mesh):
+    from fesom2_accelerate_tpu.runtime.tracing import time_stages
+
+    report = time_stages(tiny_mesh, random_fields(tiny_mesh, seed=0),
+                         iters=2)
+    assert set(report) == {"a1", "a2", "a3", "b1v", "b1h", "b2", "b3v",
+                           "b3h", "c"}
+    for v in report.values():
+        assert v["ms"] > 0 and v["GBps"] >= 0
