@@ -1,0 +1,108 @@
+"""Autotuning harness for the Pallas kernels.
+
+The reference ships one kernel_tuner module per kernel that sweeps launch
+configurations, validates each against a numpy reference, and reports the
+effective bandwidth of the best (kernels/fct_ale_a1.py:57-96).  This is the
+TPU equivalent: sweep the Pallas tile size / contraction chunk, validate
+each configuration against the numpy oracle, time it, and report achieved
+bandwidth against the bytes models.
+
+Results can be dumped to JSON like the reference's ``--store`` flag.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class TuneResult:
+    params: dict
+    ms: float
+    gbps: float
+    max_relerr: float
+    ok: bool
+
+
+def _sync(x):
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x[0] if isinstance(x, tuple) else x))
+
+
+def tune_a2(mesh, tiles=(128, 256, 512), iters=20, rtol=1e-5):
+    """Sweep a2_pallas tile sizes; validate vs oracle; report bandwidth."""
+    import jax
+    import jax.numpy as jnp
+
+    from fesom2_accelerate_tpu.mesh.generate import random_fields
+    from fesom2_accelerate_tpu.ops import oracle
+    from fesom2_accelerate_tpu.ops.pallas import kernels
+    from fesom2_accelerate_tpu.ops.pallas import step as pstep
+
+    fields = random_fields(mesh, seed=0, dtype=np.float32)
+    mk = oracle.masks(mesh)
+    tmax64, tmin64 = oracle.a1(
+        mesh, mk, fields["fct_LO"].astype(np.float64),
+        fields["ttf"].astype(np.float64),
+    )
+    UV_ref = oracle.a2(mesh, mk, tmax64, tmin64)
+
+    elem_active = int(np.sum(mesh.nlev_elem - 1))
+    nbytes = (6 * elem_active + 2 * mesh.n_layers * mesh.n_elems) * 4
+
+    results = []
+    for tile in tiles:
+        old_tile = pstep.TILE
+        try:
+            pstep.TILE = tile
+            pd, ps = pstep.build_pallas_data(mesh)
+        finally:
+            pstep.TILE = old_tile
+        L, Lp = ps.L, ps.Lp
+        tmax = np.zeros((Lp, ps.Np), np.float32)
+        tmin = np.zeros((Lp, ps.Np), np.float32)
+        tmax[:L, : ps.N] = tmax64
+        tmin[:L, : ps.N] = tmin64
+        src = jnp.asarray(np.concatenate([tmax, tmin]), jnp.float32)
+
+        def fn(src, lidx, wb, nlev):
+            return kernels.a2_pallas(src, lidx, wb, nlev, tile=tile,
+                                     window=ps.a2_window, bignumber=1e3)
+
+        jf = jax.jit(fn)
+        out = jf(src, pd.a2_lidx, pd.a2_wb, pd.nlev_elem_row)
+        _sync(out)
+        got_max = np.asarray(out[:L, : ps.E], np.float64)
+        got_min = np.asarray(out[Lp:Lp + L, : ps.E], np.float64)
+        err = max(
+            np.abs(got_max - UV_ref[0]).max() / max(np.abs(UV_ref[0]).max(), 1),
+            np.abs(got_min - UV_ref[1]).max() / max(np.abs(UV_ref[1]).max(), 1),
+        )
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jf(src, pd.a2_lidx, pd.a2_wb, pd.nlev_elem_row)
+        _sync(out)
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        results.append(TuneResult(
+            params=dict(tile=tile, window=ps.a2_window),
+            ms=round(ms, 4),
+            gbps=round(nbytes / (ms * 1e-3) / 1e9, 2),
+            max_relerr=float(err),
+            ok=bool(err < rtol),
+        ))
+    return results
+
+
+def best(results):
+    ok = [r for r in results if r.ok]
+    return min(ok, key=lambda r: r.ms) if ok else None
+
+
+def store(results, path):
+    with open(path, "w") as f:
+        json.dump([dataclasses.asdict(r) for r in results], f, indent=2)
