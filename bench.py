@@ -23,8 +23,10 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", default="core2")
-    ap.add_argument("--steps", type=int, default=20)
+    # default config is pi-scale: cold-compiles within a few minutes on the
+    # tunneled TPU backend (core2 compiles take ~10 min uncached)
+    ap.add_argument("--preset", default="pi")
+    ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     ap.add_argument("--iter", action="store_true", help="iterative FCT mode")
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])

@@ -32,8 +32,16 @@ def pre_comm(md: MeshData, cfg: FctAleConfig, ttf, fct_LO, fct_adf_v,
     """Stages a1..b2 -> limiter factors (reference
     fct_ale_pre_comm_acc_, src/fesom2-accelerate.cu:258-340)."""
     tmax, tmin = stages.a1(md, fct_LO, ttf)
-    UV_max, UV_min = stages.a2(md, tmax, tmin, cfg.bignumber)
-    tmax2, tmin2 = stages.a3(md, UV_max, UV_min, tmax, fct_LO, cfg.vlimit)
+    if cfg.vlimit == 1:
+        # fused a2+a3: the element-cluster reduce collapses to a node-
+        # neighbor max over incident edges (see stages.a3_vlimit1_fused) —
+        # no UV array is ever materialized.  Exact for |values| < bignumber,
+        # which is the reference's own padding assumption.
+        tmax2, tmin2 = stages.a3_vlimit1_fused(md, tmax, tmin, fct_LO)
+    else:
+        UV_max, UV_min = stages.a2(md, tmax, tmin, cfg.bignumber)
+        tmax2, tmin2 = stages.a3(md, UV_max, UV_min, tmax, fct_LO,
+                                 cfg.vlimit)
     fct_plus, fct_minus = stages.b1_vertical(md, fct_adf_v)
     fct_plus, fct_minus = stages.b1_horizontal(
         md, fct_plus, fct_minus, fct_adf_h

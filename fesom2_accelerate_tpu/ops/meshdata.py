@@ -33,6 +33,7 @@ class MeshData:
     ne_idx: jax.Array  # [N, KE] node->elem incidence (padded with 0)
     ne_pos: jax.Array  # [N, KE] local node position in the element
     nd_idx: jax.Array  # [N, KD] node->edge incidence (padded with 0)
+    nd_other: jax.Array  # [N, KD] the OTHER endpoint of each incident edge
 
     # masks / weights
     node_mask: jax.Array  # [L, N] bool, z < nlev_nod - 1
@@ -66,12 +67,21 @@ def build_mesh_data(mesh: Mesh, dtype=jnp.float32) -> MeshData:
     i = lambda x: jnp.asarray(x, dtype=jnp.int32)
     b = lambda x: jnp.asarray(x, dtype=jnp.bool_)
 
+    # other endpoint of each incident edge (used by the fused a2+a3
+    # neighbor-max formulation): sign +1 means this node is the edge start,
+    # so the neighbor is the end node
+    ends = mesh.edges[mk["nd_idx"]]  # [N, KD, 2]
+    nd_other = np.where(mesh.node_edges_sign == 1, ends[:, :, 1],
+                        ends[:, :, 0])
+    nd_other = np.where(mesh.node_edges >= 0, nd_other, 0)
+
     return MeshData(
         elem_nodes=i(mesh.elem_nodes),
         edges=i(mesh.edges),
         ne_idx=i(mk["ne_idx"]),
         ne_pos=i(np.where(mesh.node_elems_pos >= 0, mesh.node_elems_pos, 0)),
         nd_idx=i(mk["nd_idx"]),
+        nd_other=i(nd_other),
         node_mask=b(mk["node_mask"]),
         elem_mask=b(mk["elem_mask"]),
         edge_mask=b(mk["edge_mask"]),

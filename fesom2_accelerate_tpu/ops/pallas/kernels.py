@@ -36,6 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e30
 _CHUNK = 1024  # window chunk for one-hot contractions (bounds VMEM use)
 
+# Mosaic's default scoped-VMEM cap is 16 MiB; the unrolled window-chunk
+# pipelines exceed it at CORE2 window sizes.  v5e has 128 MiB of physical
+# VMEM — raise the cap rather than shrinking tiles.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _lcol(ref):
     """Read a [1, C, 1] tile-column block -> [C, 1]."""
@@ -185,6 +190,7 @@ def a2_pallas(src_stacked, lidx, wb, nlev_elem_row, *, tile, window,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
         out_shape=jax.ShapeDtypeStruct((Lp2, Ep), jnp.float32),
     )(wb, lidx, nlev_elem_row, src_stacked, src_stacked)
 
@@ -258,6 +264,7 @@ def a3_pallas(uv_stacked, lidx, wb, nlev_nod_row, fct_LO_pad, *,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
         out_shape=jax.ShapeDtypeStruct((Lp2, Np), jnp.float32),
     )(wb, lidx, nlev_nod_row, fct_LO_pad, uv_stacked, uv_stacked)
 
@@ -325,6 +332,7 @@ def b1h_pallas(pm_stacked, adf_h_pad, starts_col, ends_col, nlev_edge_row,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
         out_shape=jax.ShapeDtypeStruct((Lp2, Np), jnp.float32),
     )(wb, pm_stacked, adf_h_pad, adf_h_pad, starts_col, starts_col,
       ends_col, ends_col, nlev_edge_row, nlev_edge_row)
@@ -380,6 +388,7 @@ def b3h_pallas(pm_stacked, adf_h_pad, lidx, wb, nlev_edge_row, *, tile,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
         out_shape=(
             jax.ShapeDtypeStruct((Lp, Edp), jnp.float32),
             jax.ShapeDtypeStruct((Lp, Edp), jnp.float32),
@@ -437,6 +446,93 @@ def ch_pallas(adf_h_pad, starts_col, ends_col, nlev_edge_row, wb, *,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
         out_shape=jax.ShapeDtypeStruct((Lp, n_nodes_pad), jnp.float32),
     )(wb, adf_h_pad, adf_h_pad, starts_col, starts_col, ends_col, ends_col,
       nlev_edge_row, nlev_edge_row)
+
+
+# --------------------------------------------------------------------------
+# a3 fused (vlimit=1): a2+a3 collapsed to a node-neighbor max over incident
+# edges (see stages._cluster_reduce_via_edges for the algebraic identity).
+# Gathers fct_ttf_max/min directly — no UV array, no element windows.
+# Per-neighbor level bounds are applied via a step-matrix contraction:
+# P[z, c] = BIG * (z >= lev_c) built as Zstep @ onehot(lev).
+# --------------------------------------------------------------------------
+
+
+def _a3f_kernel(wb_ref, lidx_ref, lev_ref, nlev_ref, lo_ref, self_ref,
+                src0_ref, src1_ref, out_ref, *, Lp, TN, K, W):
+    slabs = (src0_ref[:], src1_ref[:])
+    C = K * TN
+    g = _gather_from_pieces(_gather_pieces(slabs, W), _lcol(lidx_ref), C)
+
+    # level-bound penalty: P[z, c] = BIG where z >= lev_c (invalid slots
+    # carry lev 0 -> fully masked; their gather is 0 via the sentinel)
+    lev = _lcol(lev_ref)  # [C, 1]
+    ohL = ((_col_iota((C, Lp)) ) == lev).astype(jnp.float32)  # [C, Lp]
+    zstep = (_row_iota((Lp, Lp)) >= _col_iota((Lp, Lp))).astype(jnp.float32)
+    P = jax.lax.dot_general(
+        zstep * _BIG, ohL, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Lp, C]
+
+    gmax = g[:Lp] - P
+    gmin = g[Lp:] + P
+    z = _row_iota((Lp, TN))
+    nlev = nlev_ref[:]
+    active = z < (nlev - 1)
+    acc_max = jnp.where(active, self_ref[:Lp], -_BIG)
+    acc_min = jnp.where(active, self_ref[Lp:], _BIG)
+    for k in range(K):
+        sl = slice(k * TN, (k + 1) * TN)
+        acc_max = jnp.maximum(acc_max, gmax[:, sl])
+        acc_min = jnp.minimum(acc_min, gmin[:, sl])
+
+    negrow = jnp.full((1, TN), -_BIG, jnp.float32)
+    posrow = jnp.full((1, TN), _BIG, jnp.float32)
+    wmax = jnp.maximum(
+        jnp.maximum(jnp.concatenate([negrow, acc_max[:-1]], axis=0), acc_max),
+        jnp.concatenate([acc_max[1:], negrow], axis=0),
+    )
+    wmin = jnp.minimum(
+        jnp.minimum(jnp.concatenate([posrow, acc_min[:-1]], axis=0), acc_min),
+        jnp.concatenate([acc_min[1:], posrow], axis=0),
+    )
+    plain = (z == 0) | (z >= nlev - 2)
+    sel_max = jnp.where(plain, acc_max, wmax)
+    sel_min = jnp.where(plain, acc_min, wmin)
+    lo = lo_ref[:]
+    out_ref[:Lp] = jnp.where(active, sel_max - lo, 0.0)
+    out_ref[Lp:] = jnp.where(active, sel_min - lo, 0.0)
+
+
+def a3_fused_pallas(src_stacked, lidx, lev, wb, nlev_nod_row, fct_LO_pad, *,
+                    tile, window, K):
+    """src_stacked [2Lp, Np] (a1 tmax; tmin) -> fct_ttf stacked [2Lp, Np]."""
+    Lp2, Np = src_stacked.shape
+    Lp = Lp2 // 2
+    T, C, _ = lidx.shape
+    TN = tile
+    assert C == K * TN
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
+            pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
+            pl.BlockSpec((1, TN), lambda i, wb: (0, i)),
+            pl.BlockSpec((Lp, TN), lambda i, wb: (0, i)),
+            pl.BlockSpec((Lp2, TN), lambda i, wb: (0, i)),
+            *_win_specs((Lp2, window), 1),
+        ],
+        out_specs=pl.BlockSpec((Lp2, TN), lambda i, wb: (0, i)),
+    )
+    kernel = functools.partial(_a3f_kernel, Lp=Lp, TN=TN, K=K, W=window)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        out_shape=jax.ShapeDtypeStruct((Lp2, Np), jnp.float32),
+    )(wb, lidx, lev, nlev_nod_row, fct_LO_pad, src_stacked, src_stacked,
+      src_stacked)

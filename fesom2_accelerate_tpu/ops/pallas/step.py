@@ -74,6 +74,12 @@ class PallasData:
     b3h_lidx: jax.Array
     b3h_wb: jax.Array
 
+    # a3 fused (gather neighbor nodes -> nodes, with per-neighbor level
+    # bounds = nlev_edge of the connecting edge)
+    a3f_lidx: jax.Array
+    a3f_lev: jax.Array
+    a3f_wb: jax.Array
+
 
 @dataclasses.dataclass(frozen=True)
 class PallasStatic:
@@ -88,10 +94,12 @@ class PallasStatic:
     Ed: int
     Edp: int
     K: int  # max node->elem degree
+    KD: int  # max node->edge degree
     a2_window: int
     a3_window: int
     ne_window: int
     b3h_window: int
+    a3f_window: int
 
 
 def _pad_mesh(mesh: Mesh, Np: int, Ep: int, Edp: int) -> Mesh:
@@ -139,17 +147,26 @@ def build_pallas_data(mesh: Mesh):
     nd_idx = np.where(mesh.node_edges >= 0, mesh.node_edges, 0)
     edges_valid = np.ones((Ed, 2), dtype=bool)
 
+    # other endpoint + connecting-edge level bound per node->edge incidence
+    ends = mesh.edges[nd_idx]  # [N, KD, 2]
+    nd_other = np.where(mesh.node_edges_sign == 1, ends[:, :, 1],
+                        ends[:, :, 0])
+    nd_other = np.where(nd_valid, nd_other, 0)
+    nd_lev = np.where(nd_valid, mesh.nlev_edge[nd_idx], 0)
+
     # pass 1: window sizes from raw index arrays
     p_a2 = build_gather_plan(mesh.elem_nodes, ones3, TILE, N)
     p_a3 = build_gather_plan(ne_idx, ne_valid, TILE, E)
     p_ne = build_gather_plan(nd_idx, nd_valid, TILE, Ed)
     p_b3h = build_gather_plan(mesh.edges, edges_valid, TILE, N)
+    p_a3f = build_gather_plan(nd_other, nd_valid, TILE, N)
     w_a2, w_a3 = p_a2.window, p_a3.window
     w_ne, w_b3h = p_ne.window, p_b3h.window
+    w_a3f = p_a3f.window
 
     # one extra max-window block of padding so every tile's second window
     # block (wb + 1) exists (see plan.py)
-    w_node = max(TILE, w_a2, w_b3h)
+    w_node = max(TILE, w_a2, w_b3h, w_a3f)
     w_elem = max(TILE, w_a3)
     w_edge = max(TILE, w_ne)
     Np = _ru(N, w_node) + w_node
@@ -179,8 +196,20 @@ def build_pallas_data(mesh: Mesh):
         pad_rows(mesh.edges, Edp), pad_rows(edges_valid, Edp, False), TILE,
         Np, min_window=w_b3h,
     )
+    p_a3f = build_gather_plan(
+        pad_rows(nd_other, Np), pad_rows(nd_valid, Np, False), TILE, Np,
+        min_window=w_a3f,
+    )
     assert p_a2.window == w_a2 and p_a3.window == w_a3
     assert p_ne.window == w_ne and p_b3h.window == w_b3h
+    assert p_a3f.window == w_a3f
+    # per-incidence level bound in the same k-major column layout as the plan
+    KD = nd_other.shape[1]
+    lev_p = pad_rows(nd_lev, Np)
+    T_n = Np // TILE
+    lev_km = lev_p.reshape(T_n, TILE, KD).transpose(0, 2, 1).reshape(
+        T_n, KD * TILE
+    )
 
     padded = _pad_mesh(mesh, Np, Ep, Edp)
     md = build_mesh_data(padded, dtype=jnp.float32)
@@ -203,11 +232,15 @@ def build_pallas_data(mesh: Mesh):
         nlev_edge_row=i32(padded.nlev_edge[None, :]),
         b3h_lidx=i32(_tile_cols(p_b3h.local_idx)),
         b3h_wb=i32(_wb2(p_b3h)),
+        a3f_lidx=i32(_tile_cols(p_a3f.local_idx)),
+        a3f_lev=i32(_tile_cols(lev_km)),
+        a3f_wb=i32(_wb2(p_a3f)),
     )
     static = PallasStatic(
         L=L, Lp=_ru(L, 8), N=N, Np=Np, E=E, Ep=Ep, Ed=Ed, Edp=Edp,
-        K=mesh.node_elems.shape[1],
+        K=mesh.node_elems.shape[1], KD=KD,
         a2_window=w_a2, a3_window=w_a3, ne_window=w_ne, b3h_window=w_b3h,
+        a3f_window=w_a3f,
     )
     return data, static
 
@@ -252,21 +285,21 @@ def fct_ale_step_pallas(pd: PallasData, ps: PallasStatic, cfg: FctAleConfig,
     # a1 (jnp, fused)
     tmax, tmin = stages.a1(md, fct_LO, ttf)
 
-    # a2 (pallas)
-    src = _stack2(tmax, tmin, Lp)
-    UV = kernels.a2_pallas(
-        src, pd.a2_lidx, pd.a2_wb, pd.nlev_elem_row,
-        tile=TILE, window=ps.a2_window, bignumber=cfg.bignumber,
-    )
-
-    # a3 (pallas for vlimit 1; XLA fallback otherwise)
     if cfg.vlimit == 1:
-        tt = kernels.a3_pallas(
-            UV, pd.a3_lidx, pd.a3_wb, pd.nlev_nod_row,
-            _rowpad(fct_LO, Lp), tile=TILE, window=ps.a3_window, K=ps.K,
+        # fused a2+a3 (no UV array): neighbor max over incident edges with
+        # per-neighbor level bounds (see stages._cluster_reduce_via_edges)
+        src = _stack2(tmax, tmin, Lp)
+        tt = kernels.a3_fused_pallas(
+            src, pd.a3f_lidx, pd.a3f_lev, pd.a3f_wb, pd.nlev_nod_row,
+            _rowpad(fct_LO, Lp), tile=TILE, window=ps.a3f_window, K=ps.KD,
         )
         tmax2, tmin2 = tt[:L], tt[Lp:Lp + L]
     else:
+        src = _stack2(tmax, tmin, Lp)
+        UV = kernels.a2_pallas(
+            src, pd.a2_lidx, pd.a2_wb, pd.nlev_elem_row,
+            tile=TILE, window=ps.a2_window, bignumber=cfg.bignumber,
+        )
         UV_max, UV_min = UV[:L], UV[Lp:Lp + L]
         tmax2, tmin2 = stages._a3_vlimit23(
             md, UV_max, UV_min, tmax, fct_LO, widen=(cfg.vlimit == 2)

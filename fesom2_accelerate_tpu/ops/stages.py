@@ -102,6 +102,40 @@ def _a3_vlimit23(md: MeshData, UV_max, UV_min, fct_ttf_max_in, fct_LO,
     return tmax, tmin
 
 
+def _cluster_reduce_via_edges(md: MeshData, tmax, tmin):
+    """Element-cluster reduce WITHOUT materializing a2's UV arrays.
+
+    Algebraic identity (TPU-first fusion of reference stages a2+a3): the max
+    over elements around node n of the per-element 3-node max equals the max
+    over n itself and its edge-neighbors m, where neighbor m participates at
+    level z iff z < nlev_edge(n, m) — because an edge's adjacent triangles
+    are exactly the elements containing both endpoints, so
+    ``max over adjacent elems (nlev_elem - 1) = nlev_edge`` reproduces a2's
+    per-element +-bignumber level padding (src/reference.cpp:341-349)
+    exactly.  Cuts the a2 [L,E,3] gather + full-depth UV write and the a3
+    [L,N,K] UV gather down to ONE [L,N,KD] gather of fct_ttf_max/min."""
+    g_max = _gather_nodes(tmax, md.nd_other)  # [L, N, KD]
+    g_min = _gather_nodes(tmin, md.nd_other)
+    m = md.nd_k[None] & _gather_nodes(md.edge_mask, md.nd_idx)
+    nbr_max = jnp.where(m, g_max, -_BIG).max(axis=2)
+    nbr_min = jnp.where(m, g_min, _BIG).min(axis=2)
+    self_max = jnp.where(md.node_mask, tmax, -_BIG)
+    self_min = jnp.where(md.node_mask, tmin, _BIG)
+    return jnp.maximum(nbr_max, self_max), jnp.minimum(nbr_min, self_min)
+
+
+def a3_vlimit1_fused(md: MeshData, a1_tmax, a1_tmin, fct_LO):
+    """vlimit=1 bounds from a1 output directly (a2 fused away)."""
+    tvert_max, tvert_min = _cluster_reduce_via_edges(md, a1_tmax, a1_tmin)
+    wmax = _vertical_window(tvert_max, reduce_max=True)
+    wmin = _vertical_window(tvert_min, reduce_max=False)
+    sel_max = jnp.where(md.surface_or_bottom, tvert_max, wmax)
+    sel_min = jnp.where(md.surface_or_bottom, tvert_min, wmin)
+    tmax = jnp.where(md.node_mask, sel_max - fct_LO, 0.0)
+    tmin = jnp.where(md.node_mask, sel_min - fct_LO, 0.0)
+    return tmax, tmin
+
+
 def a3(md: MeshData, UV_max, UV_min, a1_tmax, fct_LO, vlimit: int):
     if vlimit == 1:
         return a3_vlimit1(md, UV_max, UV_min, fct_LO)
