@@ -6,10 +6,12 @@ Gathers select columns of a level-major slab; scatters use the transposed
 one-hot so the edge->node accumulation (the reference's atomicAdd hot spot,
 kernels/fct_ale_b1_horizontal.cu:24-27) is a deterministic matmul sum.
 
-Windowing: each tile reads TWO adjacent W-blocks of the source (plan.py) —
-covers any index span <= W regardless of alignment.  Window slabs arrive as
-two block-pipelined inputs per source array; contractions run chunked to
-bound the one-hot's VMEM footprint.
+Windowing: each tile reads J consecutive 128-wide blocks of the source
+(plan.py), sized to the tile's actual index span.  The contraction cost is
+linear in window width, so the fine block granularity directly cuts MXU
+work vs. a power-of-two window.  Window blocks arrive as J block-pipelined
+inputs per source array, are concatenated to one VMEM slab, and contractions
+run chunked to bound the one-hot's VMEM footprint.
 
 Layouts inside kernels:
 * level-major slabs ``[Lp, W]`` / stacked pairs ``[2*Lp, W]`` (max/min or
@@ -33,6 +35,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fesom2_accelerate_tpu.ops.pallas.plan import BLOCK
+
 _BIG = 1e30
 _CHUNK = 1024  # window chunk for one-hot contractions (bounds VMEM use)
 
@@ -55,6 +59,20 @@ def _col_iota(shape):
     return lax.broadcasted_iota(jnp.int32, shape, 1)
 
 
+def _concat(refs):
+    """Concatenate J window-block refs into one [R, J*BLOCK] VMEM slab."""
+    if len(refs) == 1:
+        return refs[0][:]
+    return jnp.concatenate([r[:] for r in refs], axis=1)
+
+
+def _concat_col(refs):
+    """Concatenate J [BLOCK, 1] column refs into [J*BLOCK, 1]."""
+    if len(refs) == 1:
+        return refs[0][:]
+    return jnp.concatenate([r[:] for r in refs], axis=0)
+
+
 def _split3(x):
     """Exact 3-way bf16 decomposition of an f32 array: x = hi + mid + lo.
 
@@ -69,24 +87,25 @@ def _split3(x):
     return (hi, mid, lo)
 
 
-def _gather_pieces(slabs, W, neutral=None):
-    """Split two-block window slabs into exact bf16 pieces with base offsets.
+def _gather_pieces(slab, neutral=None):
+    """Split a window slab [R, W] into exact bf16 pieces with base offsets.
 
     Returns a list of (part, base, width).  neutral=(top, bottom, Lp)
-    appends a 128-wide column block at base 2W holding the reduction-neutral
+    appends a BLOCK-wide column block at base W holding the reduction-neutral
     values (rows < Lp: top; else bottom) selected by the sentinel index."""
+    W = slab.shape[1]
     chunk = min(W, _CHUNK)
     pieces = []
-    for b, slab in enumerate(slabs):
-        for c0 in range(0, W, chunk):
-            for part in _split3(slab[:, c0:c0 + chunk]):
-                pieces.append((part, b * W + c0, chunk))
+    for c0 in range(0, W, chunk):
+        cw = min(chunk, W - c0)
+        for part in _split3(slab[:, c0:c0 + cw]):
+            pieces.append((part, c0, cw))
     if neutral is not None:
         top, bottom, Lp = neutral
-        R = slabs[0].shape[0]
-        extra = jnp.where(_row_iota((R, 128)) < Lp, top, bottom)
+        R = slab.shape[0]
+        extra = jnp.where(_row_iota((R, BLOCK)) < Lp, top, bottom)
         for part in _split3(extra):
-            pieces.append((part, 2 * W, 128))
+            pieces.append((part, W, BLOCK))
     return pieces
 
 
@@ -103,47 +122,32 @@ def _gather_from_pieces(pieces, lidx_col, C):
     return acc
 
 
-def _gather_dot(slabs, lidx_col, W, C, neutral=None):
-    """Gather columns from a two-block window (see _gather_pieces)."""
-    return _gather_from_pieces(_gather_pieces(slabs, W, neutral), lidx_col, C)
+def _gather_dot(slab, lidx_col, C, neutral=None):
+    """Gather columns from a window slab (see _gather_pieces)."""
+    return _gather_from_pieces(_gather_pieces(slab, neutral), lidx_col, C)
 
 
-def _scatter_dot(slabs, ids_cols, t0, W, TN):
-    """Scatter rows of a two-block window into TN targets.
+def _win_specs(rows, J, n=1):
+    """n*J BlockSpecs for J-block windowed [rows, BLOCK] inputs.
 
-    slabs: (slab0, slab1) each [R, W]; ids_cols: (ids0, ids1) each [W, 1]
-    global target ids per window row (-1 = none); targets t0..t0+TN-1.
-    Returns [R, TN].  Exact products via _split3."""
-    chunk = min(W, _CHUNK)
-    acc = None
-    for slab, ids in zip(slabs, ids_cols):
-        for c0 in range(0, W, chunk):
-            cols = _col_iota((chunk, TN)) + t0
-            A = (ids[c0:c0 + chunk, :] == cols).astype(jnp.float32)
-            for part in _split3(slab[:, c0:c0 + chunk]):
-                g = jnp.dot(part, A, preferred_element_type=jnp.float32)
-                acc = g if acc is None else acc + g
-    return acc
-
-
-def _win_specs(block_shape, n):
-    """n pairs of BlockSpecs for two-block windowed inputs.
-
-    The scalar-prefetch array wb is [T, 2]: column 0 = first block index,
-    column 1 = second."""
+    The scalar-prefetch array wb is [T]: the first window block per tile."""
     specs = []
     for _ in range(n):
-        specs.append(pl.BlockSpec(block_shape, lambda i, wb: (0, wb[i, 0])))
-        specs.append(pl.BlockSpec(block_shape, lambda i, wb: (0, wb[i, 1])))
+        for j in range(J):
+            specs.append(pl.BlockSpec(
+                (rows, BLOCK), lambda i, wb, j=j: (0, wb[i] + j)
+            ))
     return specs
 
 
-def _win_specs_col(block_shape, n):
-    """Same for sublane-major [W, 1] windowed inputs."""
+def _win_specs_col(J, n=1):
+    """Same for sublane-major [BLOCK, 1] windowed inputs."""
     specs = []
     for _ in range(n):
-        specs.append(pl.BlockSpec(block_shape, lambda i, wb: (wb[i, 0], 0)))
-        specs.append(pl.BlockSpec(block_shape, lambda i, wb: (wb[i, 1], 0)))
+        for j in range(J):
+            specs.append(pl.BlockSpec(
+                (BLOCK, 1), lambda i, wb, j=j: (wb[i] + j, 0)
+            ))
     return specs
 
 
@@ -153,9 +157,9 @@ def _win_specs_col(block_shape, n):
 # --------------------------------------------------------------------------
 
 
-def _a2_kernel(wb_ref, lidx_ref, nlev_ref, src0_ref, src1_ref, out_ref, *,
-               Lp, TE, W, big):
-    g = _gather_dot((src0_ref[:], src1_ref[:]), _lcol(lidx_ref), W, 3 * TE)
+def _a2_kernel(wb_ref, lidx_ref, nlev_ref, *refs, Lp, TE, J, big):
+    src_refs, out_ref = refs[:J], refs[J]
+    g = _gather_dot(_concat(src_refs), _lcol(lidx_ref), 3 * TE)
     gmax, gmin = g[:Lp], g[Lp:]
     m3 = jnp.maximum(jnp.maximum(gmax[:, :TE], gmax[:, TE:2 * TE]),
                      gmax[:, 2 * TE:])
@@ -166,7 +170,7 @@ def _a2_kernel(wb_ref, lidx_ref, nlev_ref, src0_ref, src1_ref, out_ref, *,
     out_ref[Lp:] = jnp.where(mask, n3, big)
 
 
-def a2_pallas(src_stacked, lidx, wb, nlev_elem_row, *, tile, window,
+def a2_pallas(src_stacked, lidx, wb, nlev_elem_row, *, tile, nblocks,
               bignumber):
     """src_stacked [2Lp, Np] (tmax; tmin) -> UV stacked [2Lp, Ep]."""
     Lp2, Np = src_stacked.shape
@@ -181,18 +185,18 @@ def a2_pallas(src_stacked, lidx, wb, nlev_elem_row, *, tile, window,
         in_specs=[
             pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
             pl.BlockSpec((1, TE), lambda i, wb: (0, i)),
-            *_win_specs((Lp2, window), 1),
+            *_win_specs(Lp2, nblocks),
         ],
         out_specs=pl.BlockSpec((Lp2, TE), lambda i, wb: (0, i)),
     )
-    kernel = functools.partial(_a2_kernel, Lp=Lp, TE=TE, W=window,
+    kernel = functools.partial(_a2_kernel, Lp=Lp, TE=TE, J=nblocks,
                                big=bignumber)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         compiler_params=_COMPILER_PARAMS,
         out_shape=jax.ShapeDtypeStruct((Lp2, Ep), jnp.float32),
-    )(wb, lidx, nlev_elem_row, src_stacked, src_stacked)
+    )(wb, lidx, nlev_elem_row, *([src_stacked] * nblocks))
 
 
 # --------------------------------------------------------------------------
@@ -201,18 +205,15 @@ def a2_pallas(src_stacked, lidx, wb, nlev_elem_row, *, tile, window,
 # --------------------------------------------------------------------------
 
 
-def _a3_kernel(wb_ref, lidx_ref, nlev_ref, lo_ref, src0_ref,
-               src1_ref, out_ref, *, Lp, TN, K, W):
-    slabs = (src0_ref[:], src1_ref[:])
+def _a3_kernel(wb_ref, lidx_ref, nlev_ref, lo_ref, *refs, Lp, TN, K, J):
+    src_refs, out_ref = refs[:J], refs[J]
     # ONE contraction per window piece covering all K neighbor slots at once
     # (C = K*TN columns, k-major), then a static slice-reduce over k — keeps
-    # the dot count at 9 regardless of node degree and feeds the MXU large
+    # the dot count low regardless of node degree and feeds the MXU large
     # contractions.  The sentinel gathers the neutral block: -BIG for the
     # max half, +BIG for the min half.
-    g = _gather_from_pieces(
-        _gather_pieces(slabs, W, neutral=(-_BIG, _BIG, Lp)),
-        _lcol(lidx_ref), K * TN,
-    )
+    g = _gather_dot(_concat(src_refs), _lcol(lidx_ref), K * TN,
+                    neutral=(-_BIG, _BIG, Lp))
     acc_max = jnp.full((Lp, TN), -_BIG, jnp.float32)
     acc_min = jnp.full((Lp, TN), _BIG, jnp.float32)
     for k in range(K):
@@ -241,7 +242,7 @@ def _a3_kernel(wb_ref, lidx_ref, nlev_ref, lo_ref, src0_ref,
 
 
 def a3_pallas(uv_stacked, lidx, wb, nlev_nod_row, fct_LO_pad, *,
-              tile, window, K):
+              tile, nblocks, K):
     """uv_stacked [2Lp, Ep] -> fct_ttf stacked [2Lp, Np] (vlimit=1)."""
     Lp2, Ep = uv_stacked.shape
     Lp = Lp2 // 2
@@ -256,17 +257,17 @@ def a3_pallas(uv_stacked, lidx, wb, nlev_nod_row, fct_LO_pad, *,
             pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
             pl.BlockSpec((1, TN), lambda i, wb: (0, i)),
             pl.BlockSpec((Lp, TN), lambda i, wb: (0, i)),
-            *_win_specs((Lp2, window), 1),
+            *_win_specs(Lp2, nblocks),
         ],
         out_specs=pl.BlockSpec((Lp2, TN), lambda i, wb: (0, i)),
     )
-    kernel = functools.partial(_a3_kernel, Lp=Lp, TN=TN, K=K, W=window)
+    kernel = functools.partial(_a3_kernel, Lp=Lp, TN=TN, K=K, J=nblocks)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         compiler_params=_COMPILER_PARAMS,
         out_shape=jax.ShapeDtypeStruct((Lp2, Np), jnp.float32),
-    )(wb, lidx, nlev_nod_row, fct_LO_pad, uv_stacked, uv_stacked)
+    )(wb, lidx, nlev_nod_row, fct_LO_pad, *([uv_stacked] * nblocks))
 
 
 # --------------------------------------------------------------------------
@@ -275,40 +276,45 @@ def a3_pallas(uv_stacked, lidx, wb, nlev_nod_row, fct_LO_pad, *,
 # --------------------------------------------------------------------------
 
 
-def _b1h_kernel(wb_ref, pm_ref, adf0_ref, adf1_ref, s0_ref, s1_ref, e0_ref,
-                e1_ref, nw0_ref, nw1_ref, out_ref, *, Lp, TN, W):
-    # fully chunked pipeline (mask -> P/Q -> split3 -> contract) so only
-    # chunk-sized intermediates are live: full-window [2Lp, W] staging blew
-    # the VMEM scoped limit at CORE2 windows
+def _b1h_kernel(wb_ref, pm_ref, *refs, Lp, TN, J):
+    adf_refs = refs[:J]
+    s_refs = refs[J:2 * J]
+    e_refs = refs[2 * J:3 * J]
+    nw_refs = refs[3 * J:4 * J]
+    out_ref = refs[4 * J]
+    adf = _concat(adf_refs)
+    s_ids = _concat_col(s_refs)
+    e_ids = _concat_col(e_refs)
+    nw = _concat(nw_refs)
+    W = adf.shape[1]
+    # chunked pipeline (mask -> P/Q -> split3 -> contract) so only
+    # chunk-sized intermediates are live
     chunk = min(W, 512)
     t0 = pl.program_id(0) * TN
-    cols = _col_iota((chunk, TN)) + t0
     G_s = jnp.zeros((2 * Lp, TN), jnp.float32)
     G_e = jnp.zeros((2 * Lp, TN), jnp.float32)
-    for adf_ref, s_ref, e_ref, nw_ref in (
-        (adf0_ref, s0_ref, e0_ref, nw0_ref),
-        (adf1_ref, s1_ref, e1_ref, nw1_ref),
-    ):
-        for c0 in range(0, W, chunk):
-            sl = slice(c0, c0 + chunk)
-            emask = _row_iota((Lp, chunk)) < nw_ref[:, sl]
-            F = jnp.where(emask, adf_ref[:, sl], 0.0)
-            PQ = jnp.concatenate(
-                [jnp.maximum(F, 0.0), jnp.maximum(-F, 0.0)], axis=0
-            )
-            A_s = (s_ref[sl, :] == cols).astype(jnp.float32)
-            A_e = (e_ref[sl, :] == cols).astype(jnp.float32)
-            for part in _split3(PQ):
-                G_s = G_s + jnp.dot(part, A_s,
-                                    preferred_element_type=jnp.float32)
-                G_e = G_e + jnp.dot(part, A_e,
-                                    preferred_element_type=jnp.float32)
+    for c0 in range(0, W, chunk):
+        cw = min(chunk, W - c0)
+        cols = _col_iota((cw, TN)) + t0
+        sl = slice(c0, c0 + cw)
+        emask = _row_iota((Lp, cw)) < nw[:, sl]
+        F = jnp.where(emask, adf[:, sl], 0.0)
+        PQ = jnp.concatenate(
+            [jnp.maximum(F, 0.0), jnp.maximum(-F, 0.0)], axis=0
+        )
+        A_s = (s_ids[sl, :] == cols).astype(jnp.float32)
+        A_e = (e_ids[sl, :] == cols).astype(jnp.float32)
+        for part in _split3(PQ):
+            G_s = G_s + jnp.dot(part, A_s,
+                                preferred_element_type=jnp.float32)
+            G_e = G_e + jnp.dot(part, A_e,
+                                preferred_element_type=jnp.float32)
     out_ref[:Lp] = pm_ref[:Lp] + G_s[:Lp] + G_e[Lp:]
     out_ref[Lp:] = pm_ref[Lp:] - G_s[Lp:] - G_e[:Lp]
 
 
 def b1h_pallas(pm_stacked, adf_h_pad, starts_col, ends_col, nlev_edge_row,
-               wb, *, tile, window):
+               wb, *, tile, nblocks):
     """pm_stacked [2Lp, Np] (+= edge contributions) via edge windows.
 
     starts_col/ends_col: [Edp, 1] int32 endpoint ids (-1 padding);
@@ -317,25 +323,26 @@ def b1h_pallas(pm_stacked, adf_h_pad, starts_col, ends_col, nlev_edge_row,
     Lp = Lp2 // 2
     TN = tile
     T = Np // TN
+    J = nblocks
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((Lp2, TN), lambda i, wb: (0, i)),
-            *_win_specs((Lp, window), 1),
-            *_win_specs_col((window, 1), 2),
-            *_win_specs((1, window), 1),
+            *_win_specs(Lp, J),
+            *_win_specs_col(J, n=2),
+            *_win_specs(1, J),
         ],
         out_specs=pl.BlockSpec((Lp2, TN), lambda i, wb: (0, i)),
     )
-    kernel = functools.partial(_b1h_kernel, Lp=Lp, TN=TN, W=window)
+    kernel = functools.partial(_b1h_kernel, Lp=Lp, TN=TN, J=J)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         compiler_params=_COMPILER_PARAMS,
         out_shape=jax.ShapeDtypeStruct((Lp2, Np), jnp.float32),
-    )(wb, pm_stacked, adf_h_pad, adf_h_pad, starts_col, starts_col,
-      ends_col, ends_col, nlev_edge_row, nlev_edge_row)
+    )(wb, pm_stacked, *([adf_h_pad] * J), *([starts_col] * J),
+      *([ends_col] * J), *([nlev_edge_row] * J))
 
 
 # --------------------------------------------------------------------------
@@ -344,11 +351,11 @@ def b1h_pallas(pm_stacked, adf_h_pad, starts_col, ends_col, nlev_edge_row,
 # --------------------------------------------------------------------------
 
 
-def _b3h_kernel(wb_ref, lidx_ref, nlev_ref, adf_ref, src0_ref, src1_ref,
-                out_ref, resid_ref, *, Lp, TE, W):
-    slabs = (src0_ref[:], src1_ref[:])
+def _b3h_kernel(wb_ref, lidx_ref, nlev_ref, adf_ref, *refs, Lp, TE, J):
+    src_refs = refs[:J]
+    out_ref, resid_ref = refs[J], refs[J + 1]
     # one contraction for both endpoints (k-major columns: [n1 | n2])
-    g = _gather_dot(slabs, _lcol(lidx_ref), W, 2 * TE)
+    g = _gather_dot(_concat(src_refs), _lcol(lidx_ref), 2 * TE)
     g1, g2 = g[:, :TE], g[:, TE:]
     p1, m1 = g1[:Lp], g1[Lp:]
     p2, m2 = g2[:Lp], g2[Lp:]
@@ -362,7 +369,7 @@ def _b3h_kernel(wb_ref, lidx_ref, nlev_ref, adf_ref, src0_ref, src1_ref,
 
 
 def b3h_pallas(pm_stacked, adf_h_pad, lidx, wb, nlev_edge_row, *, tile,
-               window):
+               nblocks):
     """Returns (limited adf_h [Lp, Edp], residual (1-ae)*f [Lp, Edp])."""
     Lp2, Np = pm_stacked.shape
     Lp = Lp2 // 2
@@ -377,14 +384,14 @@ def b3h_pallas(pm_stacked, adf_h_pad, lidx, wb, nlev_edge_row, *, tile,
             pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
             pl.BlockSpec((1, TE), lambda i, wb: (0, i)),
             pl.BlockSpec((Lp, TE), lambda i, wb: (0, i)),
-            *_win_specs((Lp2, window), 1),
+            *_win_specs(Lp2, nblocks),
         ],
         out_specs=(
             pl.BlockSpec((Lp, TE), lambda i, wb: (0, i)),
             pl.BlockSpec((Lp, TE), lambda i, wb: (0, i)),
         ),
     )
-    kernel = functools.partial(_b3h_kernel, Lp=Lp, TE=TE, W=window)
+    kernel = functools.partial(_b3h_kernel, Lp=Lp, TE=TE, J=nblocks)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -393,7 +400,7 @@ def b3h_pallas(pm_stacked, adf_h_pad, lidx, wb, nlev_edge_row, *, tile,
             jax.ShapeDtypeStruct((Lp, Edp), jnp.float32),
             jax.ShapeDtypeStruct((Lp, Edp), jnp.float32),
         ),
-    )(wb, lidx, nlev_edge_row, adf_h_pad, pm_stacked, pm_stacked)
+    )(wb, lidx, nlev_edge_row, adf_h_pad, *([pm_stacked] * nblocks))
 
 
 # --------------------------------------------------------------------------
@@ -402,54 +409,61 @@ def b3h_pallas(pm_stacked, adf_h_pad, lidx, wb, nlev_edge_row, *, tile,
 # --------------------------------------------------------------------------
 
 
-def _ch_kernel(wb_ref, adf0_ref, adf1_ref, s0_ref, s1_ref, e0_ref, e1_ref,
-               nw0_ref, nw1_ref, out_ref, *, Lp, TN, W):
+def _ch_kernel(wb_ref, *refs, Lp, TN, J):
+    adf_refs = refs[:J]
+    s_refs = refs[J:2 * J]
+    e_refs = refs[2 * J:3 * J]
+    nw_refs = refs[3 * J:4 * J]
+    out_ref = refs[4 * J]
+    adf = _concat(adf_refs)
+    s_ids = _concat_col(s_refs)
+    e_ids = _concat_col(e_refs)
+    nw = _concat(nw_refs)
+    W = adf.shape[1]
     # chunked like _b1h_kernel; the +-1 incidence is folded into one matrix
     chunk = min(W, 512)
     t0 = pl.program_id(0) * TN
-    cols = _col_iota((chunk, TN)) + t0
     acc = jnp.zeros((Lp, TN), jnp.float32)
-    for adf_ref, s_ref, e_ref, nw_ref in (
-        (adf0_ref, s0_ref, e0_ref, nw0_ref),
-        (adf1_ref, s1_ref, e1_ref, nw1_ref),
-    ):
-        for c0 in range(0, W, chunk):
-            sl = slice(c0, c0 + chunk)
-            emask = _row_iota((Lp, chunk)) < nw_ref[:, sl]
-            F = jnp.where(emask, adf_ref[:, sl], 0.0)
-            A = (s_ref[sl, :] == cols).astype(jnp.float32) - (
-                e_ref[sl, :] == cols
-            ).astype(jnp.float32)
-            for part in _split3(F):
-                acc = acc + jnp.dot(part, A,
-                                    preferred_element_type=jnp.float32)
+    for c0 in range(0, W, chunk):
+        cw = min(chunk, W - c0)
+        cols = _col_iota((cw, TN)) + t0
+        sl = slice(c0, c0 + cw)
+        emask = _row_iota((Lp, cw)) < nw[:, sl]
+        F = jnp.where(emask, adf[:, sl], 0.0)
+        A = (s_ids[sl, :] == cols).astype(jnp.float32) - (
+            e_ids[sl, :] == cols
+        ).astype(jnp.float32)
+        for part in _split3(F):
+            acc = acc + jnp.dot(part, A,
+                                preferred_element_type=jnp.float32)
     out_ref[:] = acc
 
 
 def ch_pallas(adf_h_pad, starts_col, ends_col, nlev_edge_row, wb, *,
-              n_nodes_pad, tile, window):
+              n_nodes_pad, tile, nblocks):
     """Signed incident-edge flux sum -> [Lp, Np]."""
     Lp, Edp = adf_h_pad.shape
     TN = tile
     T = n_nodes_pad // TN
+    J = nblocks
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
-            *_win_specs((Lp, window), 1),
-            *_win_specs_col((window, 1), 2),
-            *_win_specs((1, window), 1),
+            *_win_specs(Lp, J),
+            *_win_specs_col(J, n=2),
+            *_win_specs(1, J),
         ],
         out_specs=pl.BlockSpec((Lp, TN), lambda i, wb: (0, i)),
     )
-    kernel = functools.partial(_ch_kernel, Lp=Lp, TN=TN, W=window)
+    kernel = functools.partial(_ch_kernel, Lp=Lp, TN=TN, J=J)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         compiler_params=_COMPILER_PARAMS,
         out_shape=jax.ShapeDtypeStruct((Lp, n_nodes_pad), jnp.float32),
-    )(wb, adf_h_pad, adf_h_pad, starts_col, starts_col, ends_col, ends_col,
-      nlev_edge_row, nlev_edge_row)
+    )(wb, *([adf_h_pad] * J), *([starts_col] * J), *([ends_col] * J),
+      *([nlev_edge_row] * J))
 
 
 # --------------------------------------------------------------------------
@@ -462,15 +476,16 @@ def ch_pallas(adf_h_pad, starts_col, ends_col, nlev_edge_row, wb, *,
 
 
 def _a3f_kernel(wb_ref, lidx_ref, lev_ref, nlev_ref, lo_ref, self_ref,
-                src0_ref, src1_ref, out_ref, *, Lp, TN, K, W):
-    slabs = (src0_ref[:], src1_ref[:])
+                *refs, Lp, TN, K, J):
+    src_refs = refs[:J]
+    out_ref = refs[J]
     C = K * TN
-    g = _gather_from_pieces(_gather_pieces(slabs, W), _lcol(lidx_ref), C)
+    g = _gather_dot(_concat(src_refs), _lcol(lidx_ref), C)
 
     # level-bound penalty: P[z, c] = BIG where z >= lev_c (invalid slots
     # carry lev 0 -> fully masked; their gather is 0 via the sentinel)
     lev = _lcol(lev_ref)  # [C, 1]
-    ohL = ((_col_iota((C, Lp)) ) == lev).astype(jnp.float32)  # [C, Lp]
+    ohL = ((_col_iota((C, Lp))) == lev).astype(jnp.float32)  # [C, Lp]
     zstep = (_row_iota((Lp, Lp)) >= _col_iota((Lp, Lp))).astype(jnp.float32)
     P = jax.lax.dot_general(
         zstep * _BIG, ohL, (((1,), (1,)), ((), ())),
@@ -508,7 +523,7 @@ def _a3f_kernel(wb_ref, lidx_ref, lev_ref, nlev_ref, lo_ref, self_ref,
 
 
 def a3_fused_pallas(src_stacked, lidx, lev, wb, nlev_nod_row, fct_LO_pad, *,
-                    tile, window, K):
+                    tile, nblocks, K):
     """src_stacked [2Lp, Np] (a1 tmax; tmin) -> fct_ttf stacked [2Lp, Np]."""
     Lp2, Np = src_stacked.shape
     Lp = Lp2 // 2
@@ -524,15 +539,15 @@ def a3_fused_pallas(src_stacked, lidx, lev, wb, nlev_nod_row, fct_LO_pad, *,
             pl.BlockSpec((1, TN), lambda i, wb: (0, i)),
             pl.BlockSpec((Lp, TN), lambda i, wb: (0, i)),
             pl.BlockSpec((Lp2, TN), lambda i, wb: (0, i)),
-            *_win_specs((Lp2, window), 1),
+            *_win_specs(Lp2, nblocks),
         ],
         out_specs=pl.BlockSpec((Lp2, TN), lambda i, wb: (0, i)),
     )
-    kernel = functools.partial(_a3f_kernel, Lp=Lp, TN=TN, K=K, W=window)
+    kernel = functools.partial(_a3f_kernel, Lp=Lp, TN=TN, K=K, J=nblocks)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         compiler_params=_COMPILER_PARAMS,
         out_shape=jax.ShapeDtypeStruct((Lp2, Np), jnp.float32),
-    )(wb, lidx, lev, nlev_nod_row, fct_LO_pad, src_stacked, src_stacked,
-      src_stacked)
+    )(wb, lidx, lev, nlev_nod_row, fct_LO_pad, src_stacked,
+      *([src_stacked] * nblocks))

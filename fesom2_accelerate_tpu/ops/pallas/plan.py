@@ -8,8 +8,14 @@ window.  The mesh generator's row-major numbering (and, in general, any
 bandwidth-reducing ordering such as RCM) provides it; this module verifies it
 per mesh and precomputes:
 
-* ``win_start``  [T]     — 128-aligned element offset of each tile's window
+* ``win_block``  [T]     — first 128-lane block of each tile's window
 * ``local_idx``  [T, C]  — source indices rebased to the tile's window
+
+The window is ``nblocks`` consecutive 128-wide blocks starting at
+``win_block[i] * block`` — sized to the actual index span (the one-hot
+contraction cost is linear in window width, so fine granularity matters:
+a power-of-two window would process up to ~3x more source columns than the
+span needs).
 
 Tiles with C = tile * K columns laid out k-major (column ``k * tile + t``),
 so per-k slices are contiguous lanes and the reduce over K needs no lane
@@ -26,6 +32,8 @@ import dataclasses
 
 import numpy as np
 
+BLOCK = 128  # lane-granular window block width
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -35,30 +43,37 @@ def _round_up(x: int, m: int) -> int:
 class GatherPlan:
     """Windowed gather of K source values per output entity.
 
-    Pallas BlockSpec index maps address whole W-blocks, but an index span can
-    straddle any alignment boundary — so each tile reads TWO adjacent
-    W-blocks, ``win_block[i]`` and ``win_block[i] + 1`` (clamped), which is
-    guaranteed to cover any span <= W.  ``local_idx`` is rebased to
-    ``win_block[i] * W`` and lies in [0, 2W)."""
+    Each tile reads ``nblocks`` consecutive 128-wide blocks starting at
+    ``win_block[i]`` (in units of BLOCK).  ``local_idx`` is rebased to
+    ``win_block[i] * BLOCK`` and lies in [0, nblocks * BLOCK); invalid slots
+    carry the sentinel ``nblocks * BLOCK`` (one position past the window, so
+    a one-hot over the window selects nothing — or the kernel's appended
+    neutral column block, when it provides one)."""
 
     tile: int  # output entities per tile
     K: int  # gathered values per entity
-    window: int  # window block width W (power of two >= 256)
+    block: int  # window block width (BLOCK)
+    nblocks: int  # J: consecutive blocks per tile window
     n_tiles: int
-    win_block: np.ndarray  # [T] int32, first block (units of W)
-    win_block2: np.ndarray  # [T] int32, second block, min(wb+1, last)
-    local_idx: np.ndarray  # [T, K*tile] int32 (k-major columns), in [0, 2W)
+    win_block: np.ndarray  # [T] int32, first block (units of BLOCK)
+    local_idx: np.ndarray  # [T, K*tile] int32 (k-major), in [0, J*BLOCK]
     valid: np.ndarray  # [T, K*tile] bool
-    src_size: int  # padded source length (multiple of W) windows index into
+    src_size: int  # minimum padded source length the windows index into
+
+    @property
+    def window(self) -> int:
+        """Total window width in source columns (J * BLOCK)."""
+        return self.nblocks * self.block
 
 
 def build_gather_plan(idx: np.ndarray, valid: np.ndarray, tile: int,
-                      src_size: int, min_window: int = 256) -> GatherPlan:
+                      src_size: int, min_blocks: int = 1) -> GatherPlan:
     """idx: [M, K] source indices per output entity (garbage where ~valid).
 
-    W = smallest power of two >= max tile span (and >= min_window).  Raises
-    if W exceeds the source size (no locality in the mesh ordering — reorder
-    the mesh or fall back to the XLA path)."""
+    nblocks = max over tiles of the block count covering that tile's index
+    span (>= min_blocks).  Raises if the window exceeds the source size
+    (no locality in the mesh ordering — reorder the mesh or fall back to
+    the XLA path)."""
     M, K = idx.shape
     n_tiles = _round_up(M, tile) // tile
     Mp = n_tiles * tile
@@ -76,31 +91,24 @@ def build_gather_plan(idx: np.ndarray, valid: np.ndarray, tile: int,
     mins = np.where(empty, 0, mins)
     maxs = np.where(empty, 0, maxs)
 
-    span = int((maxs - mins).max()) + 1
-    W = min_window
-    while W < span:
-        W *= 2
-    if W > max(src_size, min_window):
+    win_block = mins // BLOCK
+    last_block = maxs // BLOCK
+    J = max(int((last_block - win_block).max()) + 1, min_blocks)
+    W = J * BLOCK
+    # locality guard: on meshes large enough that windowing matters, a window
+    # covering (nearly) the whole source means the ordering has no locality —
+    # reorder (mesh/ordering.py) instead of silently degrading to full scans
+    if W >= _round_up(src_size, BLOCK) and src_size >= 8 * tile:
         raise ValueError(
-            f"gather window {W} exceeds source size {src_size}: "
+            f"gather window {W} spans the whole source ({src_size}): "
             "mesh ordering lacks locality"
         )
+    src_pad = _round_up(src_size, BLOCK) + J * BLOCK
 
-    win_block = mins // W
-    assert (maxs < (win_block + 2) * W).all()
-    # the second block is ALWAYS wb+1 (never clamped): clamping to wb would
-    # double-count scatter contributions.  The source therefore carries one
-    # extra W-block of padding (src_size below); scatter id padding is -1 and
-    # gather local_idx stays < 2W, so the extra block is inert.
-    src_pad = _round_up(src_size, W) + W
-    win_block2 = win_block + 1
-
-    # invalid slots get the sentinel index 2W: one window position PAST the
-    # two-block window, so the one-hot selects nothing (or the kernel's
-    # appended neutral column block, when it provides one)
-    local = tiles_idx - (win_block * W)[:, None, None]
-    local = np.where(tiles_valid, local, 2 * W)
-    assert (local >= 0).all() and (local <= 2 * W).all()
+    # invalid slots get the sentinel index J*BLOCK
+    local = tiles_idx - (win_block * BLOCK)[:, None, None]
+    local = np.where(tiles_valid, local, W)
+    assert (local >= 0).all() and (local <= W).all()
 
     # k-major column layout: column k*tile + t
     local_km = np.transpose(local, (0, 2, 1)).reshape(n_tiles, K * tile)
@@ -109,10 +117,10 @@ def build_gather_plan(idx: np.ndarray, valid: np.ndarray, tile: int,
     return GatherPlan(
         tile=tile,
         K=K,
-        window=W,
+        block=BLOCK,
+        nblocks=J,
         n_tiles=n_tiles,
         win_block=win_block.astype(np.int32),
-        win_block2=win_block2.astype(np.int32),
         local_idx=local_km.astype(np.int32),
         valid=valid_km,
         src_size=src_pad,

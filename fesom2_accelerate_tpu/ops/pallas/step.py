@@ -25,18 +25,17 @@ from fesom2_accelerate_tpu.mesh.topology import Mesh
 from fesom2_accelerate_tpu.ops import stages
 from fesom2_accelerate_tpu.ops.meshdata import MeshData, build_mesh_data
 from fesom2_accelerate_tpu.ops.pallas import kernels
-from fesom2_accelerate_tpu.ops.pallas.plan import GatherPlan, build_gather_plan
+from fesom2_accelerate_tpu.ops.pallas.plan import (
+    BLOCK,
+    GatherPlan,
+    build_gather_plan,
+)
 
 TILE = 256
 
 
 def _ru(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-def _wb2(plan) -> np.ndarray:
-    """[T, 2] scalar-prefetch array: first and second window block."""
-    return np.stack([plan.win_block, plan.win_block2], axis=1)
 
 
 def _tile_cols(a: np.ndarray) -> np.ndarray:
@@ -83,7 +82,7 @@ class PallasData:
 
 @dataclasses.dataclass(frozen=True)
 class PallasStatic:
-    """Static companion of PallasData (shapes / windows)."""
+    """Static companion of PallasData (shapes / window block counts)."""
 
     L: int
     Lp: int
@@ -95,11 +94,11 @@ class PallasStatic:
     Edp: int
     K: int  # max node->elem degree
     KD: int  # max node->edge degree
-    a2_window: int
-    a3_window: int
-    ne_window: int
-    b3h_window: int
-    a3f_window: int
+    a2_nblocks: int
+    a3_nblocks: int
+    ne_nblocks: int
+    b3h_nblocks: int
+    a3f_nblocks: int
 
 
 def _pad_mesh(mesh: Mesh, Np: int, Ep: int, Edp: int) -> Mesh:
@@ -154,24 +153,22 @@ def build_pallas_data(mesh: Mesh):
     nd_other = np.where(nd_valid, nd_other, 0)
     nd_lev = np.where(nd_valid, mesh.nlev_edge[nd_idx], 0)
 
-    # pass 1: window sizes from raw index arrays
+    # pass 1: window block counts from raw index arrays
     p_a2 = build_gather_plan(mesh.elem_nodes, ones3, TILE, N)
     p_a3 = build_gather_plan(ne_idx, ne_valid, TILE, E)
     p_ne = build_gather_plan(nd_idx, nd_valid, TILE, Ed)
     p_b3h = build_gather_plan(mesh.edges, edges_valid, TILE, N)
     p_a3f = build_gather_plan(nd_other, nd_valid, TILE, N)
-    w_a2, w_a3 = p_a2.window, p_a3.window
-    w_ne, w_b3h = p_ne.window, p_b3h.window
-    w_a3f = p_a3f.window
+    j_a2, j_a3 = p_a2.nblocks, p_a3.nblocks
+    j_ne, j_b3h = p_ne.nblocks, p_b3h.nblocks
+    j_a3f = p_a3f.nblocks
 
-    # one extra max-window block of padding so every tile's second window
-    # block (wb + 1) exists (see plan.py)
-    w_node = max(TILE, w_a2, w_b3h, w_a3f)
-    w_elem = max(TILE, w_a3)
-    w_edge = max(TILE, w_ne)
-    Np = _ru(N, w_node) + w_node
-    Ep = _ru(E, w_elem) + w_elem
-    Edp = _ru(Ed, w_edge) + w_edge
+    # entity padding: a multiple of TILE (output tiles) that also covers the
+    # last tile's window reads ((max win_block + J) * BLOCK columns)
+    j_node = max(j_a2, j_b3h, j_a3f)
+    Np = _ru(_ru(N, BLOCK) + j_node * BLOCK, TILE)
+    Ep = _ru(_ru(E, BLOCK) + j_a3 * BLOCK, TILE)
+    Edp = _ru(_ru(Ed, BLOCK) + j_ne * BLOCK, TILE)
 
     def pad_rows(a, n, fill=0):
         out = np.full((n,) + a.shape[1:], fill, dtype=a.dtype)
@@ -182,27 +179,27 @@ def build_pallas_data(mesh: Mesh):
     # padded entity sizes exactly
     p_a2 = build_gather_plan(
         pad_rows(mesh.elem_nodes, Ep), pad_rows(ones3, Ep, False), TILE, Np,
-        min_window=w_a2,
+        min_blocks=j_a2,
     )
     p_a3 = build_gather_plan(
         pad_rows(ne_idx, Np), pad_rows(ne_valid, Np, False), TILE, Ep,
-        min_window=w_a3,
+        min_blocks=j_a3,
     )
     p_ne = build_gather_plan(
         pad_rows(nd_idx, Np), pad_rows(nd_valid, Np, False), TILE, Edp,
-        min_window=w_ne,
+        min_blocks=j_ne,
     )
     p_b3h = build_gather_plan(
         pad_rows(mesh.edges, Edp), pad_rows(edges_valid, Edp, False), TILE,
-        Np, min_window=w_b3h,
+        Np, min_blocks=j_b3h,
     )
     p_a3f = build_gather_plan(
         pad_rows(nd_other, Np), pad_rows(nd_valid, Np, False), TILE, Np,
-        min_window=w_a3f,
+        min_blocks=j_a3f,
     )
-    assert p_a2.window == w_a2 and p_a3.window == w_a3
-    assert p_ne.window == w_ne and p_b3h.window == w_b3h
-    assert p_a3f.window == w_a3f
+    assert p_a2.nblocks == j_a2 and p_a3.nblocks == j_a3
+    assert p_ne.nblocks == j_ne and p_b3h.nblocks == j_b3h
+    assert p_a3f.nblocks == j_a3f
     # per-incidence level bound in the same k-major column layout as the plan
     KD = nd_other.shape[1]
     lev_p = pad_rows(nd_lev, Np)
@@ -221,26 +218,26 @@ def build_pallas_data(mesh: Mesh):
     data = PallasData(
         md=md,
         a2_lidx=i32(_tile_cols(p_a2.local_idx)),
-        a2_wb=i32(_wb2(p_a2)),
+        a2_wb=i32(p_a2.win_block),
         nlev_elem_row=i32(padded.nlev_elem[None, :]),
         a3_lidx=i32(_tile_cols(p_a3.local_idx)),
-        a3_wb=i32(_wb2(p_a3)),
+        a3_wb=i32(p_a3.win_block),
         nlev_nod_row=i32(padded.nlev_nod[None, :]),
-        ne_wb=i32(_wb2(p_ne)),
+        ne_wb=i32(p_ne.win_block),
         starts_col=i32(starts),
         ends_col=i32(ends),
         nlev_edge_row=i32(padded.nlev_edge[None, :]),
         b3h_lidx=i32(_tile_cols(p_b3h.local_idx)),
-        b3h_wb=i32(_wb2(p_b3h)),
+        b3h_wb=i32(p_b3h.win_block),
         a3f_lidx=i32(_tile_cols(p_a3f.local_idx)),
         a3f_lev=i32(_tile_cols(lev_km)),
-        a3f_wb=i32(_wb2(p_a3f)),
+        a3f_wb=i32(p_a3f.win_block),
     )
     static = PallasStatic(
         L=L, Lp=_ru(L, 8), N=N, Np=Np, E=E, Ep=Ep, Ed=Ed, Edp=Edp,
         K=mesh.node_elems.shape[1], KD=KD,
-        a2_window=w_a2, a3_window=w_a3, ne_window=w_ne, b3h_window=w_b3h,
-        a3f_window=w_a3f,
+        a2_nblocks=j_a2, a3_nblocks=j_a3, ne_nblocks=j_ne,
+        b3h_nblocks=j_b3h, a3f_nblocks=j_a3f,
     )
     return data, static
 
@@ -291,14 +288,14 @@ def fct_ale_step_pallas(pd: PallasData, ps: PallasStatic, cfg: FctAleConfig,
         src = _stack2(tmax, tmin, Lp)
         tt = kernels.a3_fused_pallas(
             src, pd.a3f_lidx, pd.a3f_lev, pd.a3f_wb, pd.nlev_nod_row,
-            _rowpad(fct_LO, Lp), tile=TILE, window=ps.a3f_window, K=ps.KD,
+            _rowpad(fct_LO, Lp), tile=TILE, nblocks=ps.a3f_nblocks, K=ps.KD,
         )
         tmax2, tmin2 = tt[:L], tt[Lp:Lp + L]
     else:
         src = _stack2(tmax, tmin, Lp)
         UV = kernels.a2_pallas(
             src, pd.a2_lidx, pd.a2_wb, pd.nlev_elem_row,
-            tile=TILE, window=ps.a2_window, bignumber=cfg.bignumber,
+            tile=TILE, nblocks=ps.a2_nblocks, bignumber=cfg.bignumber,
         )
         UV_max, UV_min = UV[:L], UV[Lp:Lp + L]
         tmax2, tmin2 = stages._a3_vlimit23(
@@ -309,7 +306,7 @@ def fct_ale_step_pallas(pd: PallasData, ps: PallasStatic, cfg: FctAleConfig,
     plus, minus = stages.b1_vertical(md, adf_v)
     pm = kernels.b1h_pallas(
         _stack2(plus, minus, Lp), adf_h_pad, pd.starts_col, pd.ends_col,
-        pd.nlev_edge_row, pd.ne_wb, tile=TILE, window=ps.ne_window,
+        pd.nlev_edge_row, pd.ne_wb, tile=TILE, nblocks=ps.ne_nblocks,
     )
     plus, minus = pm[:L], pm[Lp:Lp + L]
 
@@ -323,14 +320,14 @@ def fct_ale_step_pallas(pd: PallasData, ps: PallasStatic, cfg: FctAleConfig,
     pm2 = _stack2(plus, minus, Lp)
     adf_h_lim_pad, adf_h_resid_pad = kernels.b3h_pallas(
         pm2, adf_h_pad, pd.b3h_lidx, pd.b3h_wb, pd.nlev_edge_row,
-        tile=TILE, window=ps.b3h_window,
+        tile=TILE, nblocks=ps.b3h_nblocks,
     )
     adf_h_lim = adf_h_lim_pad[:L]
 
     # c (pallas edge sum + jnp epilogue)
     dh = kernels.ch_pallas(
         adf_h_lim_pad, pd.starts_col, pd.ends_col, pd.nlev_edge_row,
-        pd.ne_wb, n_nodes_pad=Np, tile=TILE, window=ps.ne_window,
+        pd.ne_wb, n_nodes_pad=Np, tile=TILE, nblocks=ps.ne_nblocks,
     )[:L]
 
     def unpad_node(x):

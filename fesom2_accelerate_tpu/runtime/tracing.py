@@ -29,13 +29,20 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def _sync(out) -> None:
+    """Completion barrier: a device->host scalar read.  On the tunneled TPU
+    backend ``block_until_ready`` can return before execution finishes (see
+    bench.py); reading a value back cannot."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
 def _timeit(fn, *args, iters: int = 20) -> float:
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 

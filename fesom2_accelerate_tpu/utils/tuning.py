@@ -72,7 +72,7 @@ def tune_a2(mesh, tiles=(128, 256, 512), iters=20, rtol=1e-5):
 
         def fn(src, lidx, wb, nlev):
             return kernels.a2_pallas(src, lidx, wb, nlev, tile=tile,
-                                     window=ps.a2_window, bignumber=1e3)
+                                     nblocks=ps.a2_nblocks, bignumber=1e3)
 
         jf = jax.jit(fn)
         out = jf(src, pd.a2_lidx, pd.a2_wb, pd.nlev_elem_row)
@@ -89,7 +89,7 @@ def tune_a2(mesh, tiles=(128, 256, 512), iters=20, rtol=1e-5):
         _sync(out)
         ms = (time.perf_counter() - t0) / iters * 1e3
         results.append(TuneResult(
-            params=dict(tile=tile, window=ps.a2_window),
+            params=dict(tile=tile, nblocks=ps.a2_nblocks),
             ms=round(ms, 4),
             gbps=round(nbytes / (ms * 1e-3) / 1e9, 2),
             max_relerr=float(err),

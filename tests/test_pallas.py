@@ -29,13 +29,13 @@ def test_gather_plan_covers_all_tiles():
     mesh = generate_planar_mesh(preset="small")
     valid = np.ones_like(mesh.elem_nodes, dtype=bool)
     p = build_gather_plan(mesh.elem_nodes, valid, 256, mesh.n_nodes)
-    assert p.window % 128 == 0
-    # every valid local index lies inside the two-block window
-    assert (p.local_idx[p.valid] < 2 * p.window).all()
-    assert (p.local_idx[~p.valid] == 2 * p.window).all()
+    assert p.window == p.nblocks * p.block and p.block == 128
+    # every valid local index lies inside the J-block window
+    assert (p.local_idx[p.valid] < p.window).all()
+    assert (p.local_idx[~p.valid] == p.window).all()
     # local + window start reproduces the original indices
     T = p.n_tiles
-    base = (p.win_block.astype(np.int64) * p.window)[:, None]
+    base = (p.win_block.astype(np.int64) * p.block)[:, None]
     rec = (p.local_idx + base).reshape(T, p.K, p.tile).transpose(0, 2, 1)
     rec = rec.reshape(T * p.tile, p.K)[: mesh.n_elems]
     np.testing.assert_array_equal(rec, mesh.elem_nodes)
