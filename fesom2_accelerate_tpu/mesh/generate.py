@@ -48,10 +48,18 @@ def generate_planar_mesh(
     assert nx is not None and ny is not None and nl is not None
     assert nx >= 2 and ny >= 2 and nl >= 4
 
-    node_id = np.arange(nx * ny, dtype=np.int32).reshape(ny, nx)
+    # number nodes along the SHORTER grid axis: the node-index bandwidth
+    # (min(nx, ny) + 1) bounds every Pallas gather window (ops/pallas/plan.py),
+    # and window width is linear cost in the one-hot contraction kernels —
+    # the same bandwidth-minimizing numbering any mesh pipeline applies
+    if nx <= ny:
+        node_id = np.arange(nx * ny, dtype=np.int32).reshape(ny, nx)
+    else:
+        node_id = np.arange(nx * ny, dtype=np.int32).reshape(nx, ny).T
     xs, ys = np.meshgrid(np.arange(nx, dtype=np.float64),
                          np.arange(ny, dtype=np.float64))
-    node_xy = np.stack([xs.ravel(), ys.ravel()], axis=1)
+    node_xy = np.empty((nx * ny, 2), dtype=np.float64)
+    node_xy[node_id.ravel()] = np.stack([xs.ravel(), ys.ravel()], axis=1)
 
     tris = []
     for j in range(ny - 1):
@@ -67,6 +75,11 @@ def generate_planar_mesh(
                 tris.append((a, b, c))
                 tris.append((b, d, c))
     elem_nodes = np.asarray(tris, dtype=np.int32)
+    # order elements by ascending min node id so element indices correlate
+    # with node indices — the layout the Pallas window planner assumes
+    # (same convention as mesh/ordering.py:reorder_mesh)
+    elem_nodes = elem_nodes[np.argsort(elem_nodes.min(axis=1),
+                                       kind="stable")]
 
     # synthetic bathymetry: smooth 2-D bumps -> per-element level counts in
     # [3, nl]; elements near the "coast" (domain boundary) are shallower

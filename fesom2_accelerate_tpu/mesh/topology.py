@@ -135,7 +135,7 @@ def _build_edges(elem_nodes: np.ndarray):
 
     edges = np.empty((n_edges, 2), dtype=np.int32)
     edge_tri = np.full((n_edges, 2), -1, dtype=np.int32)
-    # first (left) occurrence defines the orientation
+    # first (left) occurrence defines the initial orientation
     f = order[first_idx]
     edges[:, 0] = src[f]
     edges[:, 1] = dst[f]
@@ -143,6 +143,19 @@ def _build_edges(elem_nodes: np.ndarray):
     has_second = counts == 2
     s = order[first_idx[has_second] + 1]
     edge_tri[has_second, 1] = tri[s]
+    # canonical orientation: n0 < n1, swapping the left/right triangles for
+    # flipped edges so edge_tri[:, 0] stays the left triangle of the stored
+    # direction.  With edges also sorted by min endpoint, the edges STARTING
+    # in any node range are then index-contiguous — which lets the Pallas
+    # scatter kernels use a narrow window for the n0 scatter and a separate
+    # (bandwidth-wide) window only for the n1 scatter (ops/pallas/plan.py).
+    flip = edges[:, 0] > edges[:, 1]
+    edges[flip] = edges[flip][:, ::-1]
+    edge_tri[flip] = edge_tri[flip][:, ::-1]
+    # flipped boundary edges: keep their single triangle in slot 0 (slot 1 is
+    # the boundary marker -1; FCT-ALE only uses edge_tri symmetrically)
+    fixup = edge_tri[:, 0] < 0
+    edge_tri[fixup] = edge_tri[fixup][:, ::-1]
     return edges, edge_tri
 
 

@@ -80,51 +80,49 @@ def _split3(x):
     MXU contraction against a 0/1 one-hot is EXACT per term: Mosaic's
     default f32 dot is a single lossy bf16 pass, its HIGH precision is
     unsupported, and HIGHEST explodes compile time — this explicit split
-    compiles as fast as default and restores exactness."""
+    compiles as fast as default and restores exactness.  Components stay
+    f32 (NOT bf16): 16-bit operands force Mosaic vreg relayouts that cost
+    far more than they save (measured 3x slower on b3h)."""
     hi = x.astype(jnp.bfloat16).astype(jnp.float32)
     mid = (x - hi).astype(jnp.bfloat16).astype(jnp.float32)
     lo = x - hi - mid
     return (hi, mid, lo)
 
 
-def _gather_pieces(slab, neutral=None):
-    """Split a window slab [R, W] into exact bf16 pieces with base offsets.
+def _gather_segments(slab, neutral=None):
+    """Split a window slab [R, W] into chunk segments with base offsets.
 
-    Returns a list of (part, base, width).  neutral=(top, bottom, Lp)
-    appends a BLOCK-wide column block at base W holding the reduction-neutral
-    values (rows < Lp: top; else bottom) selected by the sentinel index."""
+    Returns a list of (segment, base).  neutral=(top, bottom, Lp) appends a
+    BLOCK-wide column block at base W holding the reduction-neutral values
+    (rows < Lp: top; else bottom) selected by the sentinel index."""
     W = slab.shape[1]
     chunk = min(W, _CHUNK)
-    pieces = []
+    segs = []
     for c0 in range(0, W, chunk):
         cw = min(chunk, W - c0)
-        for part in _split3(slab[:, c0:c0 + cw]):
-            pieces.append((part, c0, cw))
+        segs.append((slab[:, c0:c0 + cw], c0))
     if neutral is not None:
         top, bottom, Lp = neutral
         R = slab.shape[0]
         extra = jnp.where(_row_iota((R, BLOCK)) < Lp, top, bottom)
-        for part in _split3(extra):
-            pieces.append((part, W, BLOCK))
-    return pieces
-
-
-def _gather_from_pieces(pieces, lidx_col, C):
-    """Gather columns: contract each piece against its one-hot -> [R, C]."""
-    acc = None
-    for part, base, ch in pieces:
-        ohT = ((_col_iota((C, ch)) + base) == lidx_col).astype(jnp.float32)
-        g = jax.lax.dot_general(
-            part, ohT, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = g if acc is None else acc + g
-    return acc
+        segs.append((extra, W))
+    return segs
 
 
 def _gather_dot(slab, lidx_col, C, neutral=None):
-    """Gather columns from a window slab (see _gather_pieces)."""
-    return _gather_from_pieces(_gather_pieces(slab, neutral), lidx_col, C)
+    """Gather columns from a window slab: one one-hot per chunk (built once,
+    in bf16), three exact bf16 contractions per chunk -> [R, C]."""
+    acc = None
+    for seg, base in _gather_segments(slab, neutral):
+        ch = seg.shape[1]
+        ohT = ((_col_iota((C, ch)) + base) == lidx_col).astype(jnp.float32)
+        for part in _split3(seg):
+            g = jax.lax.dot_general(
+                part, ohT, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = g if acc is None else acc + g
+    return acc
 
 
 def _win_specs(rows, J, n=1):
@@ -488,9 +486,9 @@ def _a3f_kernel(wb_ref, lidx_ref, lev_ref, nlev_ref, lo_ref, self_ref,
     ohL = ((_col_iota((C, Lp))) == lev).astype(jnp.float32)  # [C, Lp]
     zstep = (_row_iota((Lp, Lp)) >= _col_iota((Lp, Lp))).astype(jnp.float32)
     P = jax.lax.dot_general(
-        zstep * _BIG, ohL, (((1,), (1,)), ((), ())),
+        zstep, ohL, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [Lp, C]
+    ) * _BIG  # [Lp, C]: 0/1 step @ one-hot is exact, scaled after
 
     gmax = g[:Lp] - P
     gmin = g[Lp:] + P

@@ -61,10 +61,11 @@ int64_t f2t_count_edges(const int32_t* elem_nodes, int64_t n_elems,
   return count;
 }
 
-// Build edges [Ed,2] and edge_tri [Ed,2] (right = -1 on boundary).  The
-// first (left) triangle containing the directed pair defines orientation,
-// matching mesh/topology.py exactly (stable order: sorted by (min,max) key,
-// ties by triangle index).  Returns 0, or -1 on non-manifold input.
+// Build edges [Ed,2] and edge_tri [Ed,2] (right = -1 on boundary).
+// Canonical orientation n0 < n1 with left/right triangles swapped on flip
+// (single boundary triangle kept in slot 0), matching mesh/topology.py
+// exactly (stable order: sorted by (min,max) key, ties by triangle index).
+// Returns 0, or -1 on non-manifold input.
 int32_t f2t_build_edges(const int32_t* elem_nodes, int64_t n_elems,
                         int64_t n_nodes, int32_t* edges /*[Ed,2]*/,
                         int32_t* edge_tri /*[Ed,2]*/) {
@@ -96,6 +97,15 @@ int32_t f2t_build_edges(const int32_t* elem_nodes, int64_t n_elems,
     } else {
       if (++run > 2) return -1;
       edge_tri[2 * ed + 1] = half[i].tri;
+    }
+  }
+  for (int64_t e2 = 0; e2 <= ed; ++e2) {
+    if (edges[2 * e2] > edges[2 * e2 + 1]) {
+      std::swap(edges[2 * e2], edges[2 * e2 + 1]);
+      std::swap(edge_tri[2 * e2], edge_tri[2 * e2 + 1]);
+    }
+    if (edge_tri[2 * e2] < 0) {
+      std::swap(edge_tri[2 * e2], edge_tri[2 * e2 + 1]);
     }
   }
   return 0;
