@@ -146,6 +146,15 @@ class FctAleSolver:
             def step_fn(mesh_arg, state):
                 return pstep.fct_ale_step_pallas(mesh_arg, ps, c, state)
 
+            # multi-step runs carry PADDED state through the scan so the
+            # per-step pad/slice work happens once, not every step
+            def scan_step_fn(mesh_arg, state):
+                return pstep.fct_ale_step_pallas_padded(mesh_arg, ps, c,
+                                                        state)
+
+            self._scan_pre = functools.partial(pstep.pad_state, ps)
+            self._scan_post = functools.partial(pstep.unpad_state, ps)
+            self._scan_step_fn = scan_step_fn
         else:
             self.md = build_mesh_data(mesh, dtype=cfg.dtype)
             self._mesh_arg = self.md
@@ -153,6 +162,9 @@ class FctAleSolver:
 
             def step_fn(mesh_arg, state):
                 return fct_ale_step(mesh_arg, c, state)
+
+            self._scan_pre = self._scan_post = lambda s: s
+            self._scan_step_fn = step_fn
 
         self._step_fn = step_fn
         # NOTE: no donate_argnums — buffer donation makes XLA:TPU compile the
@@ -173,17 +185,20 @@ class FctAleSolver:
         if not hasattr(self, "_scan_cache"):
             self._scan_cache = {}
         if n_steps not in self._scan_cache:
-            step_fn = self._step_fn
+            step_fn = self._scan_step_fn
+            pre, post = self._scan_pre, self._scan_post
 
             @jax.jit
             def scan_steps(mesh_arg, s):
+                s = pre(s)
+
                 def body(c, _):
                     new = step_fn(mesh_arg, c)
                     # carry keeps the input structure: drop diagnostics
                     return {k: new[k] for k in c}, None
 
                 s, _ = jax.lax.scan(body, s, None, length=n_steps)
-                return s
+                return post(s)
 
             self._scan_cache[n_steps] = scan_steps
         return self._scan_cache[n_steps](self._mesh_arg, state)

@@ -1,4 +1,4 @@
-"""Pallas TPU kernels for the gather/scatter-heavy FCT-ALE stages.
+"""Pallas TPU kernels for the FCT-ALE chain.
 
 Every irregular mesh access is a **one-hot contraction on the MXU** against a
 VMEM-resident window of the source array (see plan.py for the windowing).
@@ -7,11 +7,25 @@ one-hot so the edge->node accumulation (the reference's atomicAdd hot spot,
 kernels/fct_ale_b1_horizontal.cu:24-27) is a deterministic matmul sum.
 
 Windowing: each tile reads J consecutive 128-wide blocks of the source
-(plan.py), sized to the tile's actual index span.  The contraction cost is
-linear in window width, so the fine block granularity directly cuts MXU
-work vs. a power-of-two window.  Window blocks arrive as J block-pipelined
-inputs per source array, are concatenated to one VMEM slab, and contractions
-run chunked to bound the one-hot's VMEM footprint.
+(plan.py), sized to the tile's actual index span.  The contraction AND the
+one-hot construction cost are linear in window width, so two refinements
+matter beyond fine block granularity:
+
+* **split endpoint windows**: edges are canonically oriented n0 < n1 and
+  sorted by n0 (mesh/topology.py), so the edges *starting* in a node tile
+  are index-contiguous (narrow window ~3*tile) while only the edges
+  *ending* there spread over the mesh bandwidth.  Scatters and endpoint
+  gathers therefore run as two groups with independent windows instead of
+  one union window — ~1.4x less one-hot work.
+* **stage fusion**: the elementwise stages (a1, b1-vertical, b2,
+  b3-vertical, stage c epilogues) run inside the neighboring gather/scatter
+  kernel on the same tiles, so their intermediates never round-trip HBM.
+  The whole vlimit=1 chain is FOUR kernels:
+
+  K1 bounds:  a1 + a2 + a3        (fused node-neighbor reduction)
+  K2 limit:   b1v + b1h + b2      (split-window scatter + Zalesak factors)
+  K3 b3h:     b3-horizontal       (split-window endpoint gathers)
+  K4 update:  b3v + c             (split-window scatter + solution update)
 
 Layouts inside kernels:
 * level-major slabs ``[Lp, W]`` / stacked pairs ``[2*Lp, W]`` (max/min or
@@ -110,8 +124,8 @@ def _gather_segments(slab, neutral=None):
 
 
 def _gather_dot(slab, lidx_col, C, neutral=None):
-    """Gather columns from a window slab: one one-hot per chunk (built once,
-    in bf16), three exact bf16 contractions per chunk -> [R, C]."""
+    """Gather columns from a window slab: one one-hot per chunk, three exact
+    bf16-split contractions per chunk -> [R, C]."""
     acc = None
     for seg, base in _gather_segments(slab, neutral):
         ch = seg.shape[1]
@@ -125,33 +139,464 @@ def _gather_dot(slab, lidx_col, C, neutral=None):
     return acc
 
 
-def _win_specs(rows, J, n=1):
+def _scatter_dot(adf, ids, nw, t0, TN, Lp, split_pm: bool):
+    """Scatter window flux columns into TN targets -> [R, TN].
+
+    adf [Lp, W]; ids [W, 1] global target ids (-1 pad); nw [1, W] active
+    level counts.  split_pm=True contracts the stacked [max(0,F); max(0,-F)]
+    (R = 2*Lp, for b1h's plus/minus split); False contracts F directly
+    (R = Lp, for stage c's signed sum)."""
+    W = adf.shape[1]
+    chunk = min(W, 512)
+    acc = None
+    for c0 in range(0, W, chunk):
+        cw = min(chunk, W - c0)
+        cols = _col_iota((cw, TN)) + t0
+        sl = slice(c0, c0 + cw)
+        emask = _row_iota((Lp, cw)) < nw[:, sl]
+        F = jnp.where(emask, adf[:, sl], 0.0)
+        if split_pm:
+            F = jnp.concatenate(
+                [jnp.maximum(F, 0.0), jnp.maximum(-F, 0.0)], axis=0
+            )
+        A = (ids[sl, :] == cols).astype(jnp.float32)
+        for part in _split3(F):
+            g = jnp.dot(part, A, preferred_element_type=jnp.float32)
+            acc = g if acc is None else acc + g
+    return acc
+
+
+def _win_specs(rows, J, col, n=1):
     """n*J BlockSpecs for J-block windowed [rows, BLOCK] inputs.
 
-    The scalar-prefetch array wb is [T]: the first window block per tile."""
+    The scalar-prefetch array wb is [T, 2]; ``col`` selects which window
+    group's first block to use."""
     specs = []
     for _ in range(n):
         for j in range(J):
             specs.append(pl.BlockSpec(
-                (rows, BLOCK), lambda i, wb, j=j: (0, wb[i] + j)
+                (rows, BLOCK), lambda i, wb, j=j, c=col: (0, wb[i, c] + j)
             ))
     return specs
 
 
-def _win_specs_col(J, n=1):
+def _win_specs_col(J, col, n=1):
     """Same for sublane-major [BLOCK, 1] windowed inputs."""
     specs = []
     for _ in range(n):
         for j in range(J):
             specs.append(pl.BlockSpec(
-                (BLOCK, 1), lambda i, wb, j=j: (wb[i] + j, 0)
+                (BLOCK, 1), lambda i, wb, j=j, c=col: (wb[i, c] + j, 0)
             ))
     return specs
 
 
+def _tile_spec(shape):
+    """BlockSpec for a per-tile [rows, TN] block (lane-tiled)."""
+    return pl.BlockSpec(shape, lambda i, wb: (0, i))
+
+
+def _vertical_shift_rows(arr, Lp, up_fill, dn_fill):
+    """(arr shifted down by one row with up_fill, shifted up with dn_fill)."""
+    up = jnp.concatenate(
+        [jnp.full((1, arr.shape[1]), up_fill, jnp.float32), arr[:Lp - 1]],
+        axis=0,
+    )
+    dn = jnp.concatenate(
+        [arr[1:Lp], jnp.full((1, arr.shape[1]), dn_fill, jnp.float32)],
+        axis=0,
+    )
+    return up, dn
+
+
+# --------------------------------------------------------------------------
+# K1 bounds: a1 + fused a2+a3 (vlimit=1).  a1 (reference src/reference.cpp:
+# 306-319) runs on the window and tile in-kernel; the a2+a3 element-cluster
+# reduce collapses to a node-neighbor max over incident edges (see
+# stages._cluster_reduce_via_edges for the identity; reference
+# src/reference.cpp:321-392).  Per-neighbor level bounds enter as a
+# step-matrix contraction: P[z, c] = BIG * (z >= lev_c).
+# --------------------------------------------------------------------------
+
+
+def _bounds_kernel(wb_ref, lidx_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref,
+                   *refs, Lp, TN, K, J):
+    lo_refs, ttf_refs = refs[:J], refs[J:2 * J]
+    out_ref = refs[2 * J]
+    lo_w = _concat(lo_refs)
+    tt_w = _concat(ttf_refs)
+    # a1 on the window: values beyond a neighbor's active depth are excluded
+    # by the level-bound penalty below, so no masking is needed here
+    slab = jnp.concatenate(
+        [jnp.maximum(lo_w, tt_w), jnp.minimum(lo_w, tt_w)], axis=0
+    )
+    C = K * TN
+    g = _gather_dot(slab, _lcol(lidx_ref), C)
+
+    # level-bound penalty: P[z, c] = BIG where z >= lev_c (invalid slots
+    # carry lev 0 -> fully masked; their gather is 0 via the sentinel)
+    lev = _lcol(lev_ref)  # [C, 1]
+    ohL = (_col_iota((C, Lp)) == lev).astype(jnp.float32)  # [C, Lp]
+    zstep = (_row_iota((Lp, Lp)) >= _col_iota((Lp, Lp))).astype(jnp.float32)
+    P = jax.lax.dot_general(
+        zstep * _BIG, ohL, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Lp, C]
+
+    gmax = g[:Lp] - P
+    gmin = g[Lp:] + P
+    z = _row_iota((Lp, TN))
+    nlev = nlev_ref[:]
+    active = z < (nlev - 1)
+    lo_t = lo_t_ref[:]
+    tt_t = ttf_t_ref[:]
+    acc_max = jnp.where(active, jnp.maximum(lo_t, tt_t), -_BIG)
+    acc_min = jnp.where(active, jnp.minimum(lo_t, tt_t), _BIG)
+    for k in range(K):
+        sl = slice(k * TN, (k + 1) * TN)
+        acc_max = jnp.maximum(acc_max, gmax[:, sl])
+        acc_min = jnp.minimum(acc_min, gmin[:, sl])
+
+    up_max, dn_max = _vertical_shift_rows(acc_max, Lp, -_BIG, -_BIG)
+    up_min, dn_min = _vertical_shift_rows(acc_min, Lp, _BIG, _BIG)
+    wmax = jnp.maximum(jnp.maximum(up_max, acc_max), dn_max)
+    wmin = jnp.minimum(jnp.minimum(up_min, acc_min), dn_min)
+    plain = (z == 0) | (z >= nlev - 2)
+    sel_max = jnp.where(plain, acc_max, wmax)
+    sel_min = jnp.where(plain, acc_min, wmin)
+    out_ref[:Lp] = jnp.where(active, sel_max - lo_t, 0.0)
+    out_ref[Lp:] = jnp.where(active, sel_min - lo_t, 0.0)
+
+
+def bounds_pallas(fct_LO_pad, ttf_pad, lidx, lev, wb, nlev_nod_row, *,
+                  tile, nblocks, K):
+    """fct_LO/ttf [Lp, Np] -> fct_ttf stacked [2Lp, Np] (a1+a2+a3,
+    vlimit=1)."""
+    Lp, Np = fct_LO_pad.shape
+    T, C, _ = lidx.shape
+    TN = tile
+    assert C == K * TN
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
+            pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
+            _tile_spec((1, TN)),
+            _tile_spec((Lp, TN)),
+            _tile_spec((Lp, TN)),
+            *_win_specs(Lp, nblocks, 0, n=2),
+        ],
+        out_specs=_tile_spec((2 * Lp, TN)),
+    )
+    kernel = functools.partial(_bounds_kernel, Lp=Lp, TN=TN, K=K, J=nblocks)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        out_shape=jax.ShapeDtypeStruct((2 * Lp, Np), jnp.float32),
+    )(wb, lidx, lev, nlev_nod_row, fct_LO_pad, ttf_pad,
+      *([fct_LO_pad] * nblocks), *([ttf_pad] * nblocks))
+
+
+# --------------------------------------------------------------------------
+# K2 limit: b1-vertical (kernels/fct_ale_b1_vertical.cu) + b1-horizontal
+# scatter (kernels/fct_ale_b1_horizontal.cu:24-27, the atomicAdd hot spot)
+# + b2 Zalesak factors (kernels/fct_ale_b2.cu:10-11), fused per node tile.
+# The scatter runs as TWO window groups: edges starting in the tile
+# (contiguous, narrow) and edges ending in it (bandwidth-wide).
+# --------------------------------------------------------------------------
+
+
+def _limit_kernel(wb_ref, av_ref, tt_ref, ainv_ref, nlev_ref, *refs,
+                  Lp, Lpv, L, TN, J1, J2, dt, eps):
+    o = 0
+    adf_lo = _concat(refs[o:o + J1]); o += J1
+    adf_hi = _concat(refs[o:o + J2]); o += J2
+    s_ids = _concat_col(refs[o:o + J1]); o += J1
+    e_ids = _concat_col(refs[o:o + J2]); o += J2
+    nw_lo = _concat(refs[o:o + J1]); o += J1
+    nw_hi = _concat(refs[o:o + J2]); o += J2
+    out_ref = refs[o]
+
+    # b1 vertical: flux splitting from the interface-flux tile
+    av = av_ref[:]
+    up = av[:Lp]
+    if Lpv >= Lp + 1:
+        dn = av[1:Lp + 1]
+    else:
+        dn = jnp.concatenate(
+            [av[1:Lpv], jnp.zeros((Lp + 1 - Lpv, TN), jnp.float32)], axis=0
+        )
+    plus = jnp.maximum(0.0, up) + jnp.maximum(0.0, -dn)
+    minus = jnp.minimum(0.0, up) + jnp.minimum(0.0, -dn)
+
+    # b1 horizontal: edge->node scatter, one group per endpoint role
+    t0 = pl.program_id(0) * TN
+    G_lo = _scatter_dot(adf_lo, s_ids, nw_lo, t0, TN, Lp, split_pm=True)
+    G_hi = _scatter_dot(adf_hi, e_ids, nw_hi, t0, TN, Lp, split_pm=True)
+    plus = plus + G_lo[:Lp] + G_hi[Lp:]
+    minus = minus - G_lo[Lp:] - G_hi[:Lp]
+
+    # b2: Zalesak limiting factors
+    z = _row_iota((Lp, TN))
+    nlev = nlev_ref[:]
+    active = z < (nlev - 1)
+    tt = tt_ref[:]
+    ainv = ainv_ref[:]
+    fplus = plus * dt * ainv + eps
+    fminus = minus * dt * ainv - eps
+    out_ref[:Lp] = jnp.where(active, jnp.minimum(1.0, tt[:Lp] / fplus), 0.0)
+    out_ref[Lp:] = jnp.where(active, jnp.minimum(1.0, tt[Lp:] / fminus), 0.0)
+
+
+def limit_pallas(adf_v_pad, tt_stacked, area_inv_pad, adf_h_pad, starts_col,
+                 ends_col, nlev_edge_row, wb2, nlev_nod_row, *, tile,
+                 nblocks_lo, nblocks_hi, L, dt, flux_eps):
+    """-> limiter factors stacked [2Lp, Np] (b1v + b1h + b2)."""
+    Lp2, Np = tt_stacked.shape
+    Lp = Lp2 // 2
+    Lpv = adf_v_pad.shape[0]
+    TN = tile
+    T = Np // TN
+    J1, J2 = nblocks_lo, nblocks_hi
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            _tile_spec((Lpv, TN)),
+            _tile_spec((Lp2, TN)),
+            _tile_spec((Lp, TN)),
+            _tile_spec((1, TN)),
+            *_win_specs(Lp, J1, 0),
+            *_win_specs(Lp, J2, 1),
+            *_win_specs_col(J1, 0),
+            *_win_specs_col(J2, 1),
+            *_win_specs(1, J1, 0),
+            *_win_specs(1, J2, 1),
+        ],
+        out_specs=_tile_spec((Lp2, TN)),
+    )
+    kernel = functools.partial(_limit_kernel, Lp=Lp, Lpv=Lpv, L=L, TN=TN,
+                               J1=J1, J2=J2, dt=dt, eps=flux_eps)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        out_shape=jax.ShapeDtypeStruct((Lp2, Np), jnp.float32),
+    )(wb2, adf_v_pad, tt_stacked, area_inv_pad, nlev_nod_row,
+      *([adf_h_pad] * J1), *([adf_h_pad] * J2),
+      *([starts_col] * J1), *([ends_col] * J2),
+      *([nlev_edge_row] * J1), *([nlev_edge_row] * J2))
+
+
+# --------------------------------------------------------------------------
+# K3 b3-horizontal: limit edge fluxes by gathered endpoint factors
+# (reference kernels/fct_ale_b3_horizontal.cu:28-39) — one narrow gather for
+# the n0 endpoints (edges sorted by n0) + one bandwidth-wide for n1.
+# --------------------------------------------------------------------------
+
+
+def _b3h_kernel(wb_ref, lidx_lo_ref, lidx_hi_ref, nlev_ref, adf_ref, *refs,
+                Lp, TE, J1, J2):
+    pm_lo = _concat(refs[:J1])
+    pm_hi = _concat(refs[J1:J1 + J2])
+    out_ref, resid_ref = refs[J1 + J2], refs[J1 + J2 + 1]
+    g1 = _gather_dot(pm_lo, _lcol(lidx_lo_ref), TE)  # [2Lp, TE] = (p1; m1)
+    g2 = _gather_dot(pm_hi, _lcol(lidx_hi_ref), TE)
+    p1, m1 = g1[:Lp], g1[Lp:]
+    p2, m2 = g2[:Lp], g2[Lp:]
+    F = adf_ref[:]
+    ae_pos = jnp.minimum(1.0, jnp.minimum(p1, m2))
+    ae_neg = jnp.minimum(1.0, jnp.minimum(m1, p2))
+    ae = jnp.where(F >= 0.0, ae_pos, ae_neg)
+    emask = _row_iota((Lp, TE)) < nlev_ref[:]
+    out_ref[:] = jnp.where(emask, ae * F, F)
+    resid_ref[:] = jnp.where(emask, (1.0 - ae) * F, 0.0)
+
+
+def b3h_pallas(pm_stacked, adf_h_pad, lidx_lo, lidx_hi, wb2, nlev_edge_row,
+               *, tile, nblocks_lo, nblocks_hi):
+    """Returns (limited adf_h [Lp, Edp], residual (1-ae)*f [Lp, Edp])."""
+    Lp2, Np = pm_stacked.shape
+    Lp = Lp2 // 2
+    TE = tile
+    T, C, _ = lidx_lo.shape
+    assert C == TE
+    Edp = T * TE
+    J1, J2 = nblocks_lo, nblocks_hi
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
+            pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
+            _tile_spec((1, TE)),
+            _tile_spec((Lp, TE)),
+            *_win_specs(Lp2, J1, 0),
+            *_win_specs(Lp2, J2, 1),
+        ],
+        out_specs=(
+            _tile_spec((Lp, TE)),
+            _tile_spec((Lp, TE)),
+        ),
+    )
+    kernel = functools.partial(_b3h_kernel, Lp=Lp, TE=TE, J1=J1, J2=J2)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        out_shape=(
+            jax.ShapeDtypeStruct((Lp, Edp), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Edp), jnp.float32),
+        ),
+    )(wb2, lidx_lo, lidx_hi, nlev_edge_row, adf_h_pad,
+      *([pm_stacked] * J1), *([pm_stacked] * J2))
+
+
+# --------------------------------------------------------------------------
+# K4 update: b3-vertical (kernels/fct_ale_b3_vertical.cu / docs/
+# refactoring.md:204-233) + the c-horizontal signed edge sum (kernels/
+# fct_ale_c_horizontal.cu:25-26) + the stage-c solution / iterative-LO
+# update (docs/refactoring.md:265-314), fused per node tile.
+# Outputs: (adf_v_limited [Lpv], adf_v_residual [Lpv], o1 [Lp], o2 [Lp])
+# where (o1, o2) = (del_ttf_advvert, del_ttf_advhoriz) non-iterative or
+# (new fct_LO, zeros) iterative; adf_v_residual is zeros non-iterative.
+# --------------------------------------------------------------------------
+
+
+def _update_kernel(wb_ref, pm_ref, av_ref, ttf_ref, hn_ref, hnn_ref,
+                   lo_ref, dvin_ref, dhin_ref, ainv_ref, nlev_ref, *refs,
+                   Lp, Lpv, L, TN, J1, J2, dt, iter_yn):
+    o = 0
+    adf_lo = _concat(refs[o:o + J1]); o += J1
+    adf_hi = _concat(refs[o:o + J2]); o += J2
+    s_ids = _concat_col(refs[o:o + J1]); o += J1
+    e_ids = _concat_col(refs[o:o + J2]); o += J2
+    nw_lo = _concat(refs[o:o + J1]); o += J1
+    nw_hi = _concat(refs[o:o + J2]); o += J2
+    av_out_ref, av2_ref, o1_ref, o2_ref = refs[o:o + 4]
+
+    # c horizontal: signed incident-edge flux sum (+ at n0, - at n1)
+    t0 = pl.program_id(0) * TN
+    acc = _scatter_dot(adf_lo, s_ids, nw_lo, t0, TN, Lp, split_pm=False)
+    acc = acc - _scatter_dot(adf_hi, e_ids, nw_hi, t0, TN, Lp,
+                             split_pm=False)
+
+    # b3 vertical on the tile
+    pm = pm_ref[:]
+    plus, minus = pm[:Lp], pm[Lp:]
+    plus_m1, _ = _vertical_shift_rows(plus, Lp, 1.0, 0.0)
+    minus_m1, _ = _vertical_shift_rows(minus, Lp, 1.0, 0.0)
+    av = av_ref[:]
+    flux = av[:Lp]
+    ae_pos = jnp.minimum(1.0, jnp.minimum(minus_m1, plus))
+    ae_neg = jnp.minimum(1.0, jnp.minimum(plus_m1, minus))
+    ae = jnp.where(flux >= 0.0, ae_pos, ae_neg)
+    z = _row_iota((Lp, TN))
+    nlev = nlev_ref[:]
+    vact = (z < nlev) & (z < L)
+    av_lim = jnp.where(vact, ae * flux, flux)
+    if Lpv > Lp:
+        av_out = jnp.concatenate([av_lim, av[Lp:]], axis=0)
+    else:
+        av_out = av_lim
+    av_out_ref[:] = av_out
+    resid = jnp.where(vact & (z >= 1), (1.0 - ae) * flux, 0.0)
+    if Lpv > Lp:
+        resid = jnp.concatenate(
+            [resid, jnp.zeros((Lpv - Lp, TN), jnp.float32)], axis=0
+        )
+    av2_ref[:] = resid if iter_yn else jnp.zeros_like(resid)
+
+    # vertical divergence of the limited flux
+    if Lpv >= Lp + 1:
+        dn_lim = av_out[1:Lp + 1]
+    else:
+        dn_lim = jnp.concatenate(
+            [av_out[1:Lpv], jnp.zeros((Lp + 1 - Lpv, TN), jnp.float32)],
+            axis=0,
+        )
+    ainv = ainv_ref[:]
+    ddiv = (av_lim - dn_lim) * dt * ainv
+    dh = acc * dt * ainv
+    active = z < (nlev - 1)
+    lo = lo_ref[:]
+    if iter_yn:
+        # iterative FCT: update the low-order solution, swap in residuals
+        hnn = hnn_ref[:]
+        new_lo = jnp.where(active, lo + ddiv / hnn, lo) + dh / hnn
+        o1_ref[:] = new_lo
+        o2_ref[:] = jnp.zeros((Lp, TN), jnp.float32)
+    else:
+        dv = -ttf_ref[:] * hn_ref[:] + lo * hnn_ref[:] + ddiv
+        o1_ref[:] = jnp.where(active, dvin_ref[:] + dv, dvin_ref[:])
+        o2_ref[:] = dhin_ref[:] + dh
+
+
+def update_pallas(pm_stacked, adf_v_pad, ttf_pad, hnode_pad, hnode_new_pad,
+                  fct_LO_pad, del_v_pad, del_h_pad, area_inv_pad,
+                  adf_h_lim_pad, starts_col, ends_col, nlev_edge_row, wb2,
+                  nlev_nod_row, *, tile, nblocks_lo, nblocks_hi, L, dt,
+                  iter_yn):
+    """b3v + c fused -> (adf_v_limited, adf_v_resid, o1, o2); see kernel."""
+    Lp2, Np = pm_stacked.shape
+    Lp = Lp2 // 2
+    Lpv = adf_v_pad.shape[0]
+    TN = tile
+    T = Np // TN
+    J1, J2 = nblocks_lo, nblocks_hi
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            _tile_spec((Lp2, TN)),
+            _tile_spec((Lpv, TN)),
+            _tile_spec((Lp, TN)),
+            _tile_spec((Lp, TN)),
+            _tile_spec((Lp, TN)),
+            _tile_spec((Lp, TN)),
+            _tile_spec((Lp, TN)),
+            _tile_spec((Lp, TN)),
+            _tile_spec((Lp, TN)),
+            _tile_spec((1, TN)),
+            *_win_specs(Lp, J1, 0),
+            *_win_specs(Lp, J2, 1),
+            *_win_specs_col(J1, 0),
+            *_win_specs_col(J2, 1),
+            *_win_specs(1, J1, 0),
+            *_win_specs(1, J2, 1),
+        ],
+        out_specs=(
+            _tile_spec((Lpv, TN)),
+            _tile_spec((Lpv, TN)),
+            _tile_spec((Lp, TN)),
+            _tile_spec((Lp, TN)),
+        ),
+    )
+    kernel = functools.partial(_update_kernel, Lp=Lp, Lpv=Lpv, L=L, TN=TN,
+                               J1=J1, J2=J2, dt=dt, iter_yn=iter_yn)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        out_shape=(
+            jax.ShapeDtypeStruct((Lpv, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Lpv, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Np), jnp.float32),
+        ),
+    )(wb2, pm_stacked, adf_v_pad, ttf_pad, hnode_pad, hnode_new_pad,
+      fct_LO_pad, del_v_pad, del_h_pad, area_inv_pad, nlev_nod_row,
+      *([adf_h_lim_pad] * J1), *([adf_h_lim_pad] * J2),
+      *([starts_col] * J1), *([ends_col] * J2),
+      *([nlev_edge_row] * J1), *([nlev_edge_row] * J2))
+
+
 # --------------------------------------------------------------------------
 # a2: element bounds — gather fct_ttf_max/min at 3 nodes, max/min, pad with
-# +-bignumber (reference src/reference.cpp:321-351, kernels/fct_ale_a2.cu)
+# +-bignumber (reference src/reference.cpp:321-351, kernels/fct_ale_a2.cu).
+# Used by the vlimit=2/3 path and the tuning harness.
 # --------------------------------------------------------------------------
 
 
@@ -168,7 +613,7 @@ def _a2_kernel(wb_ref, lidx_ref, nlev_ref, *refs, Lp, TE, J, big):
     out_ref[Lp:] = jnp.where(mask, n3, big)
 
 
-def a2_pallas(src_stacked, lidx, wb, nlev_elem_row, *, tile, nblocks,
+def a2_pallas(src_stacked, lidx, wb2, nlev_elem_row, *, tile, nblocks,
               bignumber):
     """src_stacked [2Lp, Np] (tmax; tmin) -> UV stacked [2Lp, Ep]."""
     Lp2, Np = src_stacked.shape
@@ -182,10 +627,10 @@ def a2_pallas(src_stacked, lidx, wb, nlev_elem_row, *, tile, nblocks,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
-            pl.BlockSpec((1, TE), lambda i, wb: (0, i)),
-            *_win_specs(Lp2, nblocks),
+            _tile_spec((1, TE)),
+            *_win_specs(Lp2, nblocks, 0),
         ],
-        out_specs=pl.BlockSpec((Lp2, TE), lambda i, wb: (0, i)),
+        out_specs=_tile_spec((Lp2, TE)),
     )
     kernel = functools.partial(_a2_kernel, Lp=Lp, TE=TE, J=nblocks,
                                big=bignumber)
@@ -194,358 +639,4 @@ def a2_pallas(src_stacked, lidx, wb, nlev_elem_row, *, tile, nblocks,
         grid_spec=grid_spec,
         compiler_params=_COMPILER_PARAMS,
         out_shape=jax.ShapeDtypeStruct((Lp2, Ep), jnp.float32),
-    )(wb, lidx, nlev_elem_row, *([src_stacked] * nblocks))
-
-
-# --------------------------------------------------------------------------
-# a3 (vlimit=1): cluster reduce over surrounding elements + 3-level vertical
-# window - fct_LO (reference src/reference.cpp:353-392, kernels/fct_ale_a3.cu)
-# --------------------------------------------------------------------------
-
-
-def _a3_kernel(wb_ref, lidx_ref, nlev_ref, lo_ref, *refs, Lp, TN, K, J):
-    src_refs, out_ref = refs[:J], refs[J]
-    # ONE contraction per window piece covering all K neighbor slots at once
-    # (C = K*TN columns, k-major), then a static slice-reduce over k — keeps
-    # the dot count low regardless of node degree and feeds the MXU large
-    # contractions.  The sentinel gathers the neutral block: -BIG for the
-    # max half, +BIG for the min half.
-    g = _gather_dot(_concat(src_refs), _lcol(lidx_ref), K * TN,
-                    neutral=(-_BIG, _BIG, Lp))
-    acc_max = jnp.full((Lp, TN), -_BIG, jnp.float32)
-    acc_min = jnp.full((Lp, TN), _BIG, jnp.float32)
-    for k in range(K):
-        sl = slice(k * TN, (k + 1) * TN)
-        acc_max = jnp.maximum(acc_max, g[:Lp, sl])
-        acc_min = jnp.minimum(acc_min, g[Lp:, sl])
-
-    negrow = jnp.full((1, TN), -_BIG, jnp.float32)
-    posrow = jnp.full((1, TN), _BIG, jnp.float32)
-    up_max = jnp.concatenate([negrow, acc_max[:-1]], axis=0)
-    dn_max = jnp.concatenate([acc_max[1:], negrow], axis=0)
-    up_min = jnp.concatenate([posrow, acc_min[:-1]], axis=0)
-    dn_min = jnp.concatenate([acc_min[1:], posrow], axis=0)
-    wmax = jnp.maximum(jnp.maximum(up_max, acc_max), dn_max)
-    wmin = jnp.minimum(jnp.minimum(up_min, acc_min), dn_min)
-
-    z = _row_iota((Lp, TN))
-    nlev = nlev_ref[:]
-    plain = (z == 0) | (z >= nlev - 2)
-    sel_max = jnp.where(plain, acc_max, wmax)
-    sel_min = jnp.where(plain, acc_min, wmin)
-    active = z < (nlev - 1)
-    lo = lo_ref[:]
-    out_ref[:Lp] = jnp.where(active, sel_max - lo, 0.0)
-    out_ref[Lp:] = jnp.where(active, sel_min - lo, 0.0)
-
-
-def a3_pallas(uv_stacked, lidx, wb, nlev_nod_row, fct_LO_pad, *,
-              tile, nblocks, K):
-    """uv_stacked [2Lp, Ep] -> fct_ttf stacked [2Lp, Np] (vlimit=1)."""
-    Lp2, Ep = uv_stacked.shape
-    Lp = Lp2 // 2
-    T, C, _ = lidx.shape
-    TN = tile
-    assert C == K * TN
-    Np = T * TN
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
-            pl.BlockSpec((1, TN), lambda i, wb: (0, i)),
-            pl.BlockSpec((Lp, TN), lambda i, wb: (0, i)),
-            *_win_specs(Lp2, nblocks),
-        ],
-        out_specs=pl.BlockSpec((Lp2, TN), lambda i, wb: (0, i)),
-    )
-    kernel = functools.partial(_a3_kernel, Lp=Lp, TN=TN, K=K, J=nblocks)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        compiler_params=_COMPILER_PARAMS,
-        out_shape=jax.ShapeDtypeStruct((Lp2, Np), jnp.float32),
-    )(wb, lidx, nlev_nod_row, fct_LO_pad, *([uv_stacked] * nblocks))
-
-
-# --------------------------------------------------------------------------
-# b1 horizontal: edge->node scatter of split fluxes as transposed one-hot
-# contraction (reference kernels/fct_ale_b1_horizontal.cu:24-27, atomicAdd)
-# --------------------------------------------------------------------------
-
-
-def _b1h_kernel(wb_ref, pm_ref, *refs, Lp, TN, J):
-    adf_refs = refs[:J]
-    s_refs = refs[J:2 * J]
-    e_refs = refs[2 * J:3 * J]
-    nw_refs = refs[3 * J:4 * J]
-    out_ref = refs[4 * J]
-    adf = _concat(adf_refs)
-    s_ids = _concat_col(s_refs)
-    e_ids = _concat_col(e_refs)
-    nw = _concat(nw_refs)
-    W = adf.shape[1]
-    # chunked pipeline (mask -> P/Q -> split3 -> contract) so only
-    # chunk-sized intermediates are live
-    chunk = min(W, 512)
-    t0 = pl.program_id(0) * TN
-    G_s = jnp.zeros((2 * Lp, TN), jnp.float32)
-    G_e = jnp.zeros((2 * Lp, TN), jnp.float32)
-    for c0 in range(0, W, chunk):
-        cw = min(chunk, W - c0)
-        cols = _col_iota((cw, TN)) + t0
-        sl = slice(c0, c0 + cw)
-        emask = _row_iota((Lp, cw)) < nw[:, sl]
-        F = jnp.where(emask, adf[:, sl], 0.0)
-        PQ = jnp.concatenate(
-            [jnp.maximum(F, 0.0), jnp.maximum(-F, 0.0)], axis=0
-        )
-        A_s = (s_ids[sl, :] == cols).astype(jnp.float32)
-        A_e = (e_ids[sl, :] == cols).astype(jnp.float32)
-        for part in _split3(PQ):
-            G_s = G_s + jnp.dot(part, A_s,
-                                preferred_element_type=jnp.float32)
-            G_e = G_e + jnp.dot(part, A_e,
-                                preferred_element_type=jnp.float32)
-    out_ref[:Lp] = pm_ref[:Lp] + G_s[:Lp] + G_e[Lp:]
-    out_ref[Lp:] = pm_ref[Lp:] - G_s[Lp:] - G_e[:Lp]
-
-
-def b1h_pallas(pm_stacked, adf_h_pad, starts_col, ends_col, nlev_edge_row,
-               wb, *, tile, nblocks):
-    """pm_stacked [2Lp, Np] (+= edge contributions) via edge windows.
-
-    starts_col/ends_col: [Edp, 1] int32 endpoint ids (-1 padding);
-    nlev_edge_row: [1, Edp]."""
-    Lp2, Np = pm_stacked.shape
-    Lp = Lp2 // 2
-    TN = tile
-    T = Np // TN
-    J = nblocks
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((Lp2, TN), lambda i, wb: (0, i)),
-            *_win_specs(Lp, J),
-            *_win_specs_col(J, n=2),
-            *_win_specs(1, J),
-        ],
-        out_specs=pl.BlockSpec((Lp2, TN), lambda i, wb: (0, i)),
-    )
-    kernel = functools.partial(_b1h_kernel, Lp=Lp, TN=TN, J=J)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        compiler_params=_COMPILER_PARAMS,
-        out_shape=jax.ShapeDtypeStruct((Lp2, Np), jnp.float32),
-    )(wb, pm_stacked, *([adf_h_pad] * J), *([starts_col] * J),
-      *([ends_col] * J), *([nlev_edge_row] * J))
-
-
-# --------------------------------------------------------------------------
-# b3 horizontal: limit edge fluxes by gathered endpoint factors
-# (reference kernels/fct_ale_b3_horizontal.cu:28-39)
-# --------------------------------------------------------------------------
-
-
-def _b3h_kernel(wb_ref, lidx_ref, nlev_ref, adf_ref, *refs, Lp, TE, J):
-    src_refs = refs[:J]
-    out_ref, resid_ref = refs[J], refs[J + 1]
-    # one contraction for both endpoints (k-major columns: [n1 | n2])
-    g = _gather_dot(_concat(src_refs), _lcol(lidx_ref), 2 * TE)
-    g1, g2 = g[:, :TE], g[:, TE:]
-    p1, m1 = g1[:Lp], g1[Lp:]
-    p2, m2 = g2[:Lp], g2[Lp:]
-    F = adf_ref[:]
-    ae_pos = jnp.minimum(1.0, jnp.minimum(p1, m2))
-    ae_neg = jnp.minimum(1.0, jnp.minimum(m1, p2))
-    ae = jnp.where(F >= 0.0, ae_pos, ae_neg)
-    emask = _row_iota((Lp, TE)) < nlev_ref[:]
-    out_ref[:] = jnp.where(emask, ae * F, F)
-    resid_ref[:] = jnp.where(emask, (1.0 - ae) * F, 0.0)
-
-
-def b3h_pallas(pm_stacked, adf_h_pad, lidx, wb, nlev_edge_row, *, tile,
-               nblocks):
-    """Returns (limited adf_h [Lp, Edp], residual (1-ae)*f [Lp, Edp])."""
-    Lp2, Np = pm_stacked.shape
-    Lp = Lp2 // 2
-    TE = tile
-    T, C, _ = lidx.shape
-    assert C == 2 * TE
-    Edp = T * TE
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
-            pl.BlockSpec((1, TE), lambda i, wb: (0, i)),
-            pl.BlockSpec((Lp, TE), lambda i, wb: (0, i)),
-            *_win_specs(Lp2, nblocks),
-        ],
-        out_specs=(
-            pl.BlockSpec((Lp, TE), lambda i, wb: (0, i)),
-            pl.BlockSpec((Lp, TE), lambda i, wb: (0, i)),
-        ),
-    )
-    kernel = functools.partial(_b3h_kernel, Lp=Lp, TE=TE, J=nblocks)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        compiler_params=_COMPILER_PARAMS,
-        out_shape=(
-            jax.ShapeDtypeStruct((Lp, Edp), jnp.float32),
-            jax.ShapeDtypeStruct((Lp, Edp), jnp.float32),
-        ),
-    )(wb, lidx, nlev_edge_row, adf_h_pad, *([pm_stacked] * nblocks))
-
-
-# --------------------------------------------------------------------------
-# c horizontal: signed sum of incident edge fluxes per node (reference
-# kernels/fct_ale_c_horizontal.cu:25-26, atomicAdd) — one +-1 contraction
-# --------------------------------------------------------------------------
-
-
-def _ch_kernel(wb_ref, *refs, Lp, TN, J):
-    adf_refs = refs[:J]
-    s_refs = refs[J:2 * J]
-    e_refs = refs[2 * J:3 * J]
-    nw_refs = refs[3 * J:4 * J]
-    out_ref = refs[4 * J]
-    adf = _concat(adf_refs)
-    s_ids = _concat_col(s_refs)
-    e_ids = _concat_col(e_refs)
-    nw = _concat(nw_refs)
-    W = adf.shape[1]
-    # chunked like _b1h_kernel; the +-1 incidence is folded into one matrix
-    chunk = min(W, 512)
-    t0 = pl.program_id(0) * TN
-    acc = jnp.zeros((Lp, TN), jnp.float32)
-    for c0 in range(0, W, chunk):
-        cw = min(chunk, W - c0)
-        cols = _col_iota((cw, TN)) + t0
-        sl = slice(c0, c0 + cw)
-        emask = _row_iota((Lp, cw)) < nw[:, sl]
-        F = jnp.where(emask, adf[:, sl], 0.0)
-        A = (s_ids[sl, :] == cols).astype(jnp.float32) - (
-            e_ids[sl, :] == cols
-        ).astype(jnp.float32)
-        for part in _split3(F):
-            acc = acc + jnp.dot(part, A,
-                                preferred_element_type=jnp.float32)
-    out_ref[:] = acc
-
-
-def ch_pallas(adf_h_pad, starts_col, ends_col, nlev_edge_row, wb, *,
-              n_nodes_pad, tile, nblocks):
-    """Signed incident-edge flux sum -> [Lp, Np]."""
-    Lp, Edp = adf_h_pad.shape
-    TN = tile
-    T = n_nodes_pad // TN
-    J = nblocks
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(T,),
-        in_specs=[
-            *_win_specs(Lp, J),
-            *_win_specs_col(J, n=2),
-            *_win_specs(1, J),
-        ],
-        out_specs=pl.BlockSpec((Lp, TN), lambda i, wb: (0, i)),
-    )
-    kernel = functools.partial(_ch_kernel, Lp=Lp, TN=TN, J=J)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        compiler_params=_COMPILER_PARAMS,
-        out_shape=jax.ShapeDtypeStruct((Lp, n_nodes_pad), jnp.float32),
-    )(wb, *([adf_h_pad] * J), *([starts_col] * J), *([ends_col] * J),
-      *([nlev_edge_row] * J))
-
-
-# --------------------------------------------------------------------------
-# a3 fused (vlimit=1): a2+a3 collapsed to a node-neighbor max over incident
-# edges (see stages._cluster_reduce_via_edges for the algebraic identity).
-# Gathers fct_ttf_max/min directly — no UV array, no element windows.
-# Per-neighbor level bounds are applied via a step-matrix contraction:
-# P[z, c] = BIG * (z >= lev_c) built as Zstep @ onehot(lev).
-# --------------------------------------------------------------------------
-
-
-def _a3f_kernel(wb_ref, lidx_ref, lev_ref, nlev_ref, lo_ref, self_ref,
-                *refs, Lp, TN, K, J):
-    src_refs = refs[:J]
-    out_ref = refs[J]
-    C = K * TN
-    g = _gather_dot(_concat(src_refs), _lcol(lidx_ref), C)
-
-    # level-bound penalty: P[z, c] = BIG where z >= lev_c (invalid slots
-    # carry lev 0 -> fully masked; their gather is 0 via the sentinel)
-    lev = _lcol(lev_ref)  # [C, 1]
-    ohL = ((_col_iota((C, Lp))) == lev).astype(jnp.float32)  # [C, Lp]
-    zstep = (_row_iota((Lp, Lp)) >= _col_iota((Lp, Lp))).astype(jnp.float32)
-    P = jax.lax.dot_general(
-        zstep, ohL, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * _BIG  # [Lp, C]: 0/1 step @ one-hot is exact, scaled after
-
-    gmax = g[:Lp] - P
-    gmin = g[Lp:] + P
-    z = _row_iota((Lp, TN))
-    nlev = nlev_ref[:]
-    active = z < (nlev - 1)
-    acc_max = jnp.where(active, self_ref[:Lp], -_BIG)
-    acc_min = jnp.where(active, self_ref[Lp:], _BIG)
-    for k in range(K):
-        sl = slice(k * TN, (k + 1) * TN)
-        acc_max = jnp.maximum(acc_max, gmax[:, sl])
-        acc_min = jnp.minimum(acc_min, gmin[:, sl])
-
-    negrow = jnp.full((1, TN), -_BIG, jnp.float32)
-    posrow = jnp.full((1, TN), _BIG, jnp.float32)
-    wmax = jnp.maximum(
-        jnp.maximum(jnp.concatenate([negrow, acc_max[:-1]], axis=0), acc_max),
-        jnp.concatenate([acc_max[1:], negrow], axis=0),
-    )
-    wmin = jnp.minimum(
-        jnp.minimum(jnp.concatenate([posrow, acc_min[:-1]], axis=0), acc_min),
-        jnp.concatenate([acc_min[1:], posrow], axis=0),
-    )
-    plain = (z == 0) | (z >= nlev - 2)
-    sel_max = jnp.where(plain, acc_max, wmax)
-    sel_min = jnp.where(plain, acc_min, wmin)
-    lo = lo_ref[:]
-    out_ref[:Lp] = jnp.where(active, sel_max - lo, 0.0)
-    out_ref[Lp:] = jnp.where(active, sel_min - lo, 0.0)
-
-
-def a3_fused_pallas(src_stacked, lidx, lev, wb, nlev_nod_row, fct_LO_pad, *,
-                    tile, nblocks, K):
-    """src_stacked [2Lp, Np] (a1 tmax; tmin) -> fct_ttf stacked [2Lp, Np]."""
-    Lp2, Np = src_stacked.shape
-    Lp = Lp2 // 2
-    T, C, _ = lidx.shape
-    TN = tile
-    assert C == K * TN
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
-            pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
-            pl.BlockSpec((1, TN), lambda i, wb: (0, i)),
-            pl.BlockSpec((Lp, TN), lambda i, wb: (0, i)),
-            pl.BlockSpec((Lp2, TN), lambda i, wb: (0, i)),
-            *_win_specs(Lp2, nblocks),
-        ],
-        out_specs=pl.BlockSpec((Lp2, TN), lambda i, wb: (0, i)),
-    )
-    kernel = functools.partial(_a3f_kernel, Lp=Lp, TN=TN, K=K, J=nblocks)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        compiler_params=_COMPILER_PARAMS,
-        out_shape=jax.ShapeDtypeStruct((Lp2, Np), jnp.float32),
-    )(wb, lidx, lev, nlev_nod_row, fct_LO_pad, src_stacked,
-      *([src_stacked] * nblocks))
+    )(wb2, lidx, nlev_elem_row, *([src_stacked] * nblocks))

@@ -1,14 +1,16 @@
-"""Full FCT-ALE step with Pallas kernels for the gather/scatter stages.
+"""Full FCT-ALE step as FOUR fused Pallas kernels (vlimit=1).
 
-Orchestrates the padded kernel pipeline: Pallas handles a2, a3 (vlimit 1),
-b1-horizontal, b3-horizontal and the c-horizontal edge sum (the irregular
-stages); the purely elementwise / vertical stages (a1, b1v, b2, b3v,
-c epilogues) stay in jnp where XLA fuses them optimally.
+K1 bounds (a1+a2+a3) -> K2 limit (b1v+b1h+b2) -> K3 b3h -> K4 update
+(b3v + stage c).  Every elementwise stage runs inside the neighboring
+gather/scatter kernel on the same tiles (kernels.py), so the only XLA work
+left is input padding/unpadding.  Scatters and endpoint gathers use split
+narrow/wide windows enabled by the canonical edge orientation
+(mesh/topology.py).
 
 All entity axes are padded to tile/window multiples (see plan.py); the level
-axis is padded to the f32 sublane multiple (8) only at kernel boundaries.
-vlimit 2/3 fall back to the XLA a3 (the reference only productionized
-vlimit 1: src/reference.cpp:297).
+axis is padded to the f32 sublane multiple (8) at kernel boundaries.
+vlimit 2/3 fall back to a2_pallas + the XLA a3 (the reference only
+productionized vlimit 1: src/reference.cpp:297).
 """
 
 from __future__ import annotations
@@ -51,33 +53,33 @@ def _tile_cols(a: np.ndarray) -> np.ndarray:
 class PallasData:
     """Device arrays for the Pallas step (data fields only; sizes static)."""
 
-    md: MeshData  # padded-mesh MeshData for the jnp stages
+    md: MeshData  # padded-mesh MeshData for the XLA-path stages
 
-    # a2 (gather nodes -> elements)
-    a2_lidx: jax.Array
-    a2_wb: jax.Array
-    nlev_elem_row: jax.Array  # [1, Ep]
-
-    # a3 (gather elements -> nodes)
-    a3_lidx: jax.Array
-    a3_wb: jax.Array
     nlev_nod_row: jax.Array  # [1, Np]
+    area_inv_pad: jax.Array  # [Lp, Np]
 
-    # edge windows per node tile (b1h, c_h)
-    ne_wb: jax.Array
+    # K1 bounds (gather neighbor nodes -> nodes, with per-neighbor level
+    # bounds = nlev_edge of the connecting edge)
+    a3f_lidx: jax.Array
+    a3f_lev: jax.Array
+    a3f_wb: jax.Array  # [T_n, 2] (col 0 used)
+
+    # edge scatter windows per node tile (K2, K4): lo = edges starting in
+    # the tile (narrow), hi = edges ending in it (bandwidth-wide)
+    ne_wb: jax.Array  # [T_n, 2] (lo block, hi block)
     starts_col: jax.Array  # [Edp, 1] (-1 pad)
     ends_col: jax.Array  # [Edp, 1]
     nlev_edge_row: jax.Array  # [1, Edp]
 
-    # b3h (gather nodes -> edges)
-    b3h_lidx: jax.Array
-    b3h_wb: jax.Array
+    # K3 b3h (gather endpoint factors -> edges), split by endpoint role
+    b3h_lidx_lo: jax.Array
+    b3h_lidx_hi: jax.Array
+    b3h_wb: jax.Array  # [T_e, 2]
 
-    # a3 fused (gather neighbor nodes -> nodes, with per-neighbor level
-    # bounds = nlev_edge of the connecting edge)
-    a3f_lidx: jax.Array
-    a3f_lev: jax.Array
-    a3f_wb: jax.Array
+    # a2 (vlimit 2/3 path): gather nodes -> elements
+    a2_lidx: jax.Array
+    a2_wb: jax.Array  # [T_e2, 2] (col 0 used)
+    nlev_elem_row: jax.Array  # [1, Ep]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,19 +88,20 @@ class PallasStatic:
 
     L: int
     Lp: int
+    Lpv: int
     N: int
     Np: int
     E: int
     Ep: int
     Ed: int
     Edp: int
-    K: int  # max node->elem degree
     KD: int  # max node->edge degree
-    a2_nblocks: int
-    a3_nblocks: int
-    ne_nblocks: int
-    b3h_nblocks: int
     a3f_nblocks: int
+    ne_lo_nblocks: int
+    ne_hi_nblocks: int
+    b3h_lo_nblocks: int
+    b3h_hi_nblocks: int
+    a2_nblocks: int
 
 
 def _pad_mesh(mesh: Mesh, Np: int, Ep: int, Edp: int) -> Mesh:
@@ -136,15 +139,14 @@ def build_pallas_data(mesh: Mesh):
     """Returns (PallasData, PallasStatic)."""
     N, E, Ed, L = mesh.n_nodes, mesh.n_elems, mesh.n_edges, mesh.n_layers
     ones3 = np.ones((E, 3), dtype=bool)
-    ne_valid = np.arange(mesh.node_elems.shape[1])[None, :] < (
-        mesh.node_elems_num[:, None]
-    )
     nd_valid = np.arange(mesh.node_edges.shape[1])[None, :] < (
         mesh.node_edges_num[:, None]
     )
-    ne_idx = np.where(mesh.node_elems >= 0, mesh.node_elems, 0)
     nd_idx = np.where(mesh.node_edges >= 0, mesh.node_edges, 0)
-    edges_valid = np.ones((Ed, 2), dtype=bool)
+    # endpoint roles (canonical orientation: n0 < n1, topology.py): the node
+    # is n0 of the incident edge iff sign == +1
+    is_lo = nd_valid & (mesh.node_edges_sign == 1)
+    is_hi = nd_valid & (mesh.node_edges_sign == -1)
 
     # other endpoint + connecting-edge level bound per node->edge incidence
     ends = mesh.edges[nd_idx]  # [N, KD, 2]
@@ -153,22 +155,25 @@ def build_pallas_data(mesh: Mesh):
     nd_other = np.where(nd_valid, nd_other, 0)
     nd_lev = np.where(nd_valid, mesh.nlev_edge[nd_idx], 0)
 
+    ones1 = np.ones((Ed, 1), dtype=bool)
+
     # pass 1: window block counts from raw index arrays
-    p_a2 = build_gather_plan(mesh.elem_nodes, ones3, TILE, N)
-    p_a3 = build_gather_plan(ne_idx, ne_valid, TILE, E)
-    p_ne = build_gather_plan(nd_idx, nd_valid, TILE, Ed)
-    p_b3h = build_gather_plan(mesh.edges, edges_valid, TILE, N)
     p_a3f = build_gather_plan(nd_other, nd_valid, TILE, N)
-    j_a2, j_a3 = p_a2.nblocks, p_a3.nblocks
-    j_ne, j_b3h = p_ne.nblocks, p_b3h.nblocks
-    j_a3f = p_a3f.nblocks
+    p_lo = build_gather_plan(nd_idx, is_lo, TILE, Ed)
+    p_hi = build_gather_plan(nd_idx, is_hi, TILE, Ed)
+    p_b3lo = build_gather_plan(mesh.edges[:, 0:1], ones1, TILE, N)
+    p_b3hi = build_gather_plan(mesh.edges[:, 1:2], ones1, TILE, N)
+    p_a2 = build_gather_plan(mesh.elem_nodes, ones3, TILE, N)
+    j_a3f, j_lo, j_hi = p_a3f.nblocks, p_lo.nblocks, p_hi.nblocks
+    j_b3lo, j_b3hi, j_a2 = p_b3lo.nblocks, p_b3hi.nblocks, p_a2.nblocks
 
     # entity padding: a multiple of TILE (output tiles) that also covers the
     # last tile's window reads ((max win_block + J) * BLOCK columns)
-    j_node = max(j_a2, j_b3h, j_a3f)
+    j_node = max(j_a3f, j_b3lo, j_b3hi, j_a2)
+    j_edge = max(j_lo, j_hi)
     Np = _ru(_ru(N, BLOCK) + j_node * BLOCK, TILE)
-    Ep = _ru(_ru(E, BLOCK) + j_a3 * BLOCK, TILE)
-    Edp = _ru(_ru(Ed, BLOCK) + j_ne * BLOCK, TILE)
+    Edp = _ru(_ru(Ed, BLOCK) + j_edge * BLOCK, TILE)
+    Ep = _ru(E, TILE)
 
     def pad_rows(a, n, fill=0):
         out = np.full((n,) + a.shape[1:], fill, dtype=a.dtype)
@@ -177,29 +182,34 @@ def build_pallas_data(mesh: Mesh):
 
     # pass 2: rebuild with padded output rows so tile counts match the
     # padded entity sizes exactly
-    p_a2 = build_gather_plan(
-        pad_rows(mesh.elem_nodes, Ep), pad_rows(ones3, Ep, False), TILE, Np,
-        min_blocks=j_a2,
-    )
-    p_a3 = build_gather_plan(
-        pad_rows(ne_idx, Np), pad_rows(ne_valid, Np, False), TILE, Ep,
-        min_blocks=j_a3,
-    )
-    p_ne = build_gather_plan(
-        pad_rows(nd_idx, Np), pad_rows(nd_valid, Np, False), TILE, Edp,
-        min_blocks=j_ne,
-    )
-    p_b3h = build_gather_plan(
-        pad_rows(mesh.edges, Edp), pad_rows(edges_valid, Edp, False), TILE,
-        Np, min_blocks=j_b3h,
-    )
     p_a3f = build_gather_plan(
         pad_rows(nd_other, Np), pad_rows(nd_valid, Np, False), TILE, Np,
         min_blocks=j_a3f,
     )
-    assert p_a2.nblocks == j_a2 and p_a3.nblocks == j_a3
-    assert p_ne.nblocks == j_ne and p_b3h.nblocks == j_b3h
-    assert p_a3f.nblocks == j_a3f
+    p_lo = build_gather_plan(
+        pad_rows(nd_idx, Np), pad_rows(is_lo, Np, False), TILE, Edp,
+        min_blocks=j_lo,
+    )
+    p_hi = build_gather_plan(
+        pad_rows(nd_idx, Np), pad_rows(is_hi, Np, False), TILE, Edp,
+        min_blocks=j_hi,
+    )
+    p_b3lo = build_gather_plan(
+        pad_rows(mesh.edges[:, 0:1], Edp), pad_rows(ones1, Edp, False),
+        TILE, Np, min_blocks=j_b3lo,
+    )
+    p_b3hi = build_gather_plan(
+        pad_rows(mesh.edges[:, 1:2], Edp), pad_rows(ones1, Edp, False),
+        TILE, Np, min_blocks=j_b3hi,
+    )
+    p_a2 = build_gather_plan(
+        pad_rows(mesh.elem_nodes, Ep), pad_rows(ones3, Ep, False), TILE, Np,
+        min_blocks=j_a2,
+    )
+    for p, j in ((p_a3f, j_a3f), (p_lo, j_lo), (p_hi, j_hi),
+                 (p_b3lo, j_b3lo), (p_b3hi, j_b3hi), (p_a2, j_a2)):
+        assert p.nblocks == j
+
     # per-incidence level bound in the same k-major column layout as the plan
     KD = nd_other.shape[1]
     lev_p = pad_rows(nd_lev, Np)
@@ -214,30 +224,39 @@ def build_pallas_data(mesh: Mesh):
     starts = pad_rows(mesh.edges[:, 0:1], Edp, fill=-1).astype(np.int32)
     ends = pad_rows(mesh.edges[:, 1:2], Edp, fill=-1).astype(np.int32)
 
+    Lp = _ru(L, 8)
+    area_inv = np.zeros((Lp, Np), np.float32)
+    area_inv[:L] = np.asarray(padded.area_inv)[:L]
+
+    def wb2(pa, pb=None):
+        a = pa.win_block
+        b = pb.win_block if pb is not None else pa.win_block
+        return np.stack([a, b], axis=1)
+
     i32 = functools.partial(jnp.asarray, dtype=jnp.int32)
     data = PallasData(
         md=md,
-        a2_lidx=i32(_tile_cols(p_a2.local_idx)),
-        a2_wb=i32(p_a2.win_block),
-        nlev_elem_row=i32(padded.nlev_elem[None, :]),
-        a3_lidx=i32(_tile_cols(p_a3.local_idx)),
-        a3_wb=i32(p_a3.win_block),
         nlev_nod_row=i32(padded.nlev_nod[None, :]),
-        ne_wb=i32(p_ne.win_block),
+        area_inv_pad=jnp.asarray(area_inv),
+        a3f_lidx=i32(_tile_cols(p_a3f.local_idx)),
+        a3f_lev=i32(_tile_cols(lev_km)),
+        a3f_wb=i32(wb2(p_a3f)),
+        ne_wb=i32(wb2(p_lo, p_hi)),
         starts_col=i32(starts),
         ends_col=i32(ends),
         nlev_edge_row=i32(padded.nlev_edge[None, :]),
-        b3h_lidx=i32(_tile_cols(p_b3h.local_idx)),
-        b3h_wb=i32(p_b3h.win_block),
-        a3f_lidx=i32(_tile_cols(p_a3f.local_idx)),
-        a3f_lev=i32(_tile_cols(lev_km)),
-        a3f_wb=i32(p_a3f.win_block),
+        b3h_lidx_lo=i32(_tile_cols(p_b3lo.local_idx)),
+        b3h_lidx_hi=i32(_tile_cols(p_b3hi.local_idx)),
+        b3h_wb=i32(wb2(p_b3lo, p_b3hi)),
+        a2_lidx=i32(_tile_cols(p_a2.local_idx)),
+        a2_wb=i32(wb2(p_a2)),
+        nlev_elem_row=i32(padded.nlev_elem[None, :]),
     )
     static = PallasStatic(
-        L=L, Lp=_ru(L, 8), N=N, Np=Np, E=E, Ep=Ep, Ed=Ed, Edp=Edp,
-        K=mesh.node_elems.shape[1], KD=KD,
-        a2_nblocks=j_a2, a3_nblocks=j_a3, ne_nblocks=j_ne,
-        b3h_nblocks=j_b3h, a3f_nblocks=j_a3f,
+        L=L, Lp=Lp, Lpv=_ru(L + 1, 8), N=N, Np=Np, E=E, Ep=Ep, Ed=Ed,
+        Edp=Edp, KD=KD,
+        a3f_nblocks=j_a3f, ne_lo_nblocks=j_lo, ne_hi_nblocks=j_hi,
+        b3h_lo_nblocks=j_b3lo, b3h_hi_nblocks=j_b3hi, a2_nblocks=j_a2,
     )
     return data, static
 
@@ -247,11 +266,6 @@ def build_pallas_data(mesh: Mesh):
 # --------------------------------------------------------------------------
 
 
-def _stack2(a, b, Lp):
-    """[L, X] pair -> [2Lp, X] stacked with zero row padding."""
-    return jnp.concatenate([_rowpad(a, Lp), _rowpad(b, Lp)], axis=0)
-
-
 def _rowpad(a, Lp):
     L = a.shape[0]
     if L == Lp:
@@ -259,39 +273,65 @@ def _rowpad(a, Lp):
     return jnp.pad(a, ((0, Lp - L), (0, 0)))
 
 
-def fct_ale_step_pallas(pd: PallasData, ps: PallasStatic, cfg: FctAleConfig,
-                        state: dict) -> dict:
-    """Same contract as model.fct_ale.fct_ale_step, Pallas-accelerated.
+def _stack2(a, b, Lp):
+    """[L, X] pair -> [2Lp, X] stacked with zero row padding."""
+    return jnp.concatenate([_rowpad(a, Lp), _rowpad(b, Lp)], axis=0)
 
-    Input state fields have natural (unpadded) shapes; outputs match."""
+
+# field layout by NAME (shapes are ambiguous on small meshes where the
+# padded node and edge extents coincide)
+_EDGE_FIELDS = frozenset({"fct_adf_h", "fct_adf_h_limited"})
+_IFACE_FIELDS = frozenset({"fct_adf_v", "fct_adf_v_limited"})  # L+1 rows
+
+
+def pad_state(ps: PallasStatic, state: dict) -> dict:
+    """Natural-shape state -> padded kernel layout ([Lp|Lpv, Np] / [Lp, Edp]).
+
+    Keeping the scan state padded removes all per-step pad/slice XLA work."""
+    out = {}
+    for k, v in state.items():
+        if k in _EDGE_FIELDS:
+            out[k] = _rowpad(jnp.pad(v, ((0, 0), (0, ps.Edp - ps.Ed))),
+                             ps.Lp)
+        else:
+            rows = ps.Lpv if k in _IFACE_FIELDS else ps.Lp
+            out[k] = _rowpad(jnp.pad(v, ((0, 0), (0, ps.Np - ps.N))), rows)
+    return out
+
+
+def unpad_state(ps: PallasStatic, pstate: dict) -> dict:
+    """Padded kernel layout -> natural shapes."""
+    out = {}
+    for k, v in pstate.items():
+        if k in _EDGE_FIELDS:
+            out[k] = v[:ps.L, :ps.Ed]
+        else:
+            rows = ps.L + 1 if k in _IFACE_FIELDS else ps.L
+            out[k] = v[:rows, :ps.N]
+    return out
+
+
+def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
+                               cfg: FctAleConfig, state: dict) -> dict:
+    """One step on PADDED state (see pad_state) — the scan-carry form."""
     md = pd.md
-    L, Lp, N, Np, Ed, Edp = ps.L, ps.Lp, ps.N, ps.Np, ps.Ed, ps.Edp
+    L, Lp, Lpv = ps.L, ps.Lp, ps.Lpv
 
-    def pad_node(x):
-        return jnp.pad(x, ((0, 0), (0, Np - x.shape[1])))
+    ttf = state["ttf"]
+    fct_LO = state["fct_LO"]
+    adf_v = state["fct_adf_v"]
+    adf_h_pad = state["fct_adf_h"]
 
-    def pad_edge(x):
-        return jnp.pad(x, ((0, 0), (0, Edp - x.shape[1])))
-
-    ttf = pad_node(state["ttf"])
-    fct_LO = pad_node(state["fct_LO"])
-    adf_v = pad_node(state["fct_adf_v"])
-    adf_h = pad_edge(state["fct_adf_h"])
-    adf_h_pad = _rowpad(adf_h, Lp)  # [Lp, Edp]
-
-    # a1 (jnp, fused)
-    tmax, tmin = stages.a1(md, fct_LO, ttf)
-
+    dt = float(cfg.dt)
     if cfg.vlimit == 1:
-        # fused a2+a3 (no UV array): neighbor max over incident edges with
-        # per-neighbor level bounds (see stages._cluster_reduce_via_edges)
-        src = _stack2(tmax, tmin, Lp)
-        tt = kernels.a3_fused_pallas(
-            src, pd.a3f_lidx, pd.a3f_lev, pd.a3f_wb, pd.nlev_nod_row,
-            _rowpad(fct_LO, Lp), tile=TILE, nblocks=ps.a3f_nblocks, K=ps.KD,
+        # K1: a1 + fused a2+a3 (no UV array): neighbor max over incident
+        # edges with per-neighbor level bounds
+        tt = kernels.bounds_pallas(
+            fct_LO, ttf, pd.a3f_lidx, pd.a3f_lev, pd.a3f_wb,
+            pd.nlev_nod_row, tile=TILE, nblocks=ps.a3f_nblocks, K=ps.KD,
         )
-        tmax2, tmin2 = tt[:L], tt[Lp:Lp + L]
     else:
+        tmax, tmin = stages.a1(md, fct_LO[:L], ttf[:L])
         src = _stack2(tmax, tmin, Lp)
         UV = kernels.a2_pallas(
             src, pd.a2_lidx, pd.a2_wb, pd.nlev_elem_row,
@@ -299,76 +339,65 @@ def fct_ale_step_pallas(pd: PallasData, ps: PallasStatic, cfg: FctAleConfig,
         )
         UV_max, UV_min = UV[:L], UV[Lp:Lp + L]
         tmax2, tmin2 = stages._a3_vlimit23(
-            md, UV_max, UV_min, tmax, fct_LO, widen=(cfg.vlimit == 2)
+            md, UV_max, UV_min, tmax, fct_LO[:L], widen=(cfg.vlimit == 2)
         )
+        tt = _stack2(tmax2, tmin2, Lp)
 
-    # b1 vertical (jnp) + b1 horizontal (pallas)
-    plus, minus = stages.b1_vertical(md, adf_v)
-    pm = kernels.b1h_pallas(
-        _stack2(plus, minus, Lp), adf_h_pad, pd.starts_col, pd.ends_col,
-        pd.nlev_edge_row, pd.ne_wb, tile=TILE, nblocks=ps.ne_nblocks,
+    # K2: b1 vertical + b1 horizontal scatter + b2
+    pm = kernels.limit_pallas(
+        adf_v, tt, pd.area_inv_pad, adf_h_pad, pd.starts_col, pd.ends_col,
+        pd.nlev_edge_row, pd.ne_wb, pd.nlev_nod_row, tile=TILE,
+        nblocks_lo=ps.ne_lo_nblocks, nblocks_hi=ps.ne_hi_nblocks, L=L,
+        dt=dt, flux_eps=float(cfg.flux_eps),
     )
-    plus, minus = pm[:L], pm[Lp:Lp + L]
 
-    # b2 (jnp)
-    plus, minus = stages.b2(md, plus, minus, tmax2, tmin2, cfg.dt,
-                            cfg.flux_eps)
-
-    # b3 vertical (jnp) + b3 horizontal (pallas)
-    adf_v_out, adf_v2 = stages.b3_vertical(md, plus, minus, adf_v,
-                                           cfg.iter_yn)
-    pm2 = _stack2(plus, minus, Lp)
+    # K3: b3 horizontal (split endpoint gathers)
     adf_h_lim_pad, adf_h_resid_pad = kernels.b3h_pallas(
-        pm2, adf_h_pad, pd.b3h_lidx, pd.b3h_wb, pd.nlev_edge_row,
-        tile=TILE, nblocks=ps.b3h_nblocks,
+        pm, adf_h_pad, pd.b3h_lidx_lo, pd.b3h_lidx_hi, pd.b3h_wb,
+        pd.nlev_edge_row, tile=TILE, nblocks_lo=ps.b3h_lo_nblocks,
+        nblocks_hi=ps.b3h_hi_nblocks,
     )
-    adf_h_lim = adf_h_lim_pad[:L]
 
-    # c (pallas edge sum + jnp epilogue)
-    dh = kernels.ch_pallas(
-        adf_h_lim_pad, pd.starts_col, pd.ends_col, pd.nlev_edge_row,
-        pd.ne_wb, n_nodes_pad=Np, tile=TILE, nblocks=ps.ne_nblocks,
-    )[:L]
-
-    def unpad_node(x):
-        return x[:, :N]
-
-    def unpad_edge(x):
-        return x[:, :Ed]
+    # K4: b3 vertical + stage c
+    av_out, av2, o1, o2 = kernels.update_pallas(
+        pm, adf_v, ttf, state["hnode"], state["hnode_new"], fct_LO,
+        state["del_ttf_advvert"], state["del_ttf_advhoriz"],
+        pd.area_inv_pad, adf_h_lim_pad, pd.starts_col, pd.ends_col,
+        pd.nlev_edge_row, pd.ne_wb, pd.nlev_nod_row, tile=TILE,
+        nblocks_lo=ps.ne_lo_nblocks, nblocks_hi=ps.ne_hi_nblocks, L=L,
+        dt=dt, iter_yn=cfg.iter_yn,
+    )
 
     out = dict(state)
     out.update(
-        fct_ttf_max=unpad_node(tmax2), fct_ttf_min=unpad_node(tmin2),
-        fct_plus=unpad_node(plus), fct_minus=unpad_node(minus),
+        fct_ttf_max=tt[:Lp], fct_ttf_min=tt[Lp:],
+        fct_plus=pm[:Lp], fct_minus=pm[Lp:],
     )
     if cfg.iter_yn:
-        hnode_new = pad_node(state["hnode_new"])
-        dv = (adf_v_out[:-1] - adf_v_out[1:]) * cfg.dt * md.area_inv
-        new_LO = jnp.where(md.node_mask, fct_LO + dv / hnode_new, fct_LO)
-        new_LO = new_LO + dh * cfg.dt * md.area_inv / hnode_new
         out.update(
-            fct_LO=unpad_node(new_LO),
-            fct_adf_v=unpad_node(adf_v2),
-            fct_adf_h=unpad_edge(adf_h_resid_pad[:L]),
-            fct_adf_v_limited=unpad_node(adf_v_out),
-            fct_adf_h_limited=unpad_edge(adf_h_lim),
+            fct_LO=o1,
+            fct_adf_v=av2,
+            fct_adf_h=adf_h_resid_pad,
+            fct_adf_v_limited=av_out,
+            fct_adf_h_limited=adf_h_lim_pad,
         )
     else:
-        hnode = pad_node(state["hnode"])
-        hnode_new = pad_node(state["hnode_new"])
-        del_v_in = pad_node(state["del_ttf_advvert"])
-        del_h_in = pad_node(state["del_ttf_advhoriz"])
-        dv = (
-            -ttf * hnode
-            + fct_LO * hnode_new
-            + (adf_v_out[:-1] - adf_v_out[1:]) * cfg.dt * md.area_inv
-        )
-        del_v = jnp.where(md.node_mask, del_v_in + dv, del_v_in)
-        del_h = del_h_in + dh * cfg.dt * md.area_inv
         out.update(
-            fct_adf_v=unpad_node(adf_v_out),
-            fct_adf_h=unpad_edge(adf_h_lim),
-            del_ttf_advvert=unpad_node(del_v),
-            del_ttf_advhoriz=unpad_node(del_h),
+            fct_adf_v=av_out,
+            fct_adf_h=adf_h_lim_pad,
+            del_ttf_advvert=o1,
+            del_ttf_advhoriz=o2,
         )
     return out
+
+
+def fct_ale_step_pallas(pd: PallasData, ps: PallasStatic, cfg: FctAleConfig,
+                        state: dict) -> dict:
+    """Same contract as model.fct_ale.fct_ale_step, Pallas-accelerated.
+
+    Input state fields have natural (unpadded) shapes; outputs match.  For
+    multi-step runs, pad once with :func:`pad_state`, scan
+    :func:`fct_ale_step_pallas_padded`, and unpad once at the end."""
+    return unpad_state(
+        ps, fct_ale_step_pallas_padded(pd, ps, cfg, pad_state(ps, state))
+    )
