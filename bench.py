@@ -23,13 +23,13 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    # default config is pi-scale: cold-compiles within a few minutes on the
-    # tunneled TPU backend (core2 compiles take ~10 min uncached)
-    ap.add_argument("--preset", default="pi")
-    ap.add_argument("--steps", type=int, default=100)
+    # default = flagship config: CORE2-scale mesh on the fused Pallas
+    # backend (4-kernel chain, cold compile ~2 s)
+    ap.add_argument("--preset", default="core2")
+    ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     ap.add_argument("--iter", action="store_true", help="iterative FCT mode")
-    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--backend", default="pallas", choices=["xla", "pallas"])
     args = ap.parse_args()
 
     import jax
