@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--max-devices", type=int, default=0,
                     help="0 = all available")
+    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     args = ap.parse_args()
 
     import jax
@@ -46,7 +47,8 @@ def main():
 
     base_gps = None
     for n in counts:
-        solver = ShardedFctAleSolver(mesh, cfg, devices=devices[:n])
+        solver = ShardedFctAleSolver(mesh, cfg, devices=devices[:n],
+                                     backend=args.backend)
         state = solver.init_state(fields)
         out = solver.run(state, args.steps)
         float(jnp.sum(out["fct_LO"]))  # sync

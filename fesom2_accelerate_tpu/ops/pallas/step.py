@@ -135,8 +135,13 @@ def _pad_mesh(mesh: Mesh, Np: int, Ep: int, Edp: int) -> Mesh:
     )
 
 
-def build_pallas_data(mesh: Mesh):
-    """Returns (PallasData, PallasStatic)."""
+def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None):
+    """Returns (PallasData, PallasStatic).
+
+    ``common``: force this static layout (padded sizes / window block
+    counts) instead of deriving it from the mesh — used by the sharded
+    solver so every part compiles to the SAME program.  The mesh's own
+    requirements must not exceed it."""
     N, E, Ed, L = mesh.n_nodes, mesh.n_elems, mesh.n_edges, mesh.n_layers
     ones3 = np.ones((E, 3), dtype=bool)
     nd_valid = np.arange(mesh.node_edges.shape[1])[None, :] < (
@@ -167,13 +172,27 @@ def build_pallas_data(mesh: Mesh):
     j_a3f, j_lo, j_hi = p_a3f.nblocks, p_lo.nblocks, p_hi.nblocks
     j_b3lo, j_b3hi, j_a2 = p_b3lo.nblocks, p_b3hi.nblocks, p_a2.nblocks
 
-    # entity padding: a multiple of TILE (output tiles) that also covers the
-    # last tile's window reads ((max win_block + J) * BLOCK columns)
-    j_node = max(j_a3f, j_b3lo, j_b3hi, j_a2)
-    j_edge = max(j_lo, j_hi)
-    Np = _ru(_ru(N, BLOCK) + j_node * BLOCK, TILE)
-    Edp = _ru(_ru(Ed, BLOCK) + j_edge * BLOCK, TILE)
-    Ep = _ru(E, TILE)
+    if common is not None:
+        assert (j_a3f <= common.a3f_nblocks
+                and j_lo <= common.ne_lo_nblocks
+                and j_hi <= common.ne_hi_nblocks
+                and j_b3lo <= common.b3h_lo_nblocks
+                and j_b3hi <= common.b3h_hi_nblocks
+                and j_a2 <= common.a2_nblocks), "mesh exceeds common static"
+        j_a3f, j_lo, j_hi = (common.a3f_nblocks, common.ne_lo_nblocks,
+                             common.ne_hi_nblocks)
+        j_b3lo, j_b3hi = common.b3h_lo_nblocks, common.b3h_hi_nblocks
+        j_a2 = common.a2_nblocks
+        Np, Ep, Edp = common.Np, common.Ep, common.Edp
+        assert common.L == L and common.N == N and common.Ed == Ed
+    else:
+        # entity padding: a multiple of TILE (output tiles) that also covers
+        # the last tile's window reads ((max win_block + J) * BLOCK columns)
+        j_node = max(j_a3f, j_b3lo, j_b3hi, j_a2)
+        j_edge = max(j_lo, j_hi)
+        Np = _ru(_ru(N, BLOCK) + j_node * BLOCK, TILE)
+        Edp = _ru(_ru(Ed, BLOCK) + j_edge * BLOCK, TILE)
+        Ep = _ru(E, TILE)
 
     def pad_rows(a, n, fill=0):
         out = np.full((n,) + a.shape[1:], fill, dtype=a.dtype)
@@ -312,8 +331,14 @@ def unpad_state(ps: PallasStatic, pstate: dict) -> dict:
 
 
 def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
-                               cfg: FctAleConfig, state: dict) -> dict:
-    """One step on PADDED state (see pad_state) — the scan-carry form."""
+                               cfg: FctAleConfig, state: dict,
+                               exchange=None) -> dict:
+    """One step on PADDED state (see pad_state) — the scan-carry form.
+
+    ``exchange`` (sharded runs): callback filling halo columns of a padded
+    node array from their owners; applied to the limiter factors between
+    K2 and K3 (the reference's MPI exchange_nod point, docs/
+    refactoring.md:199-200) and to the updated fct_LO in iterative mode."""
     md = pd.md
     L, Lp, Lpv = ps.L, ps.Lp, ps.Lpv
 
@@ -351,6 +376,9 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
         dt=dt, flux_eps=float(cfg.flux_eps),
     )
 
+    if exchange is not None:
+        pm = exchange(pm)
+
     # K3: b3 horizontal (split endpoint gathers)
     adf_h_lim_pad, adf_h_resid_pad = kernels.b3h_pallas(
         pm, adf_h_pad, pd.b3h_lidx_lo, pd.b3h_lidx_hi, pd.b3h_wb,
@@ -374,6 +402,8 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
         fct_plus=pm[:Lp], fct_minus=pm[Lp:],
     )
     if cfg.iter_yn:
+        if exchange is not None:
+            o1 = exchange(o1)
         out.update(
             fct_LO=o1,
             fct_adf_v=av2,

@@ -5,7 +5,8 @@ host FESOM2 (docs/refactoring.md:31,47; include/fesom2-accelerate.h myDim /
 eDim node split, SURVEY §2.6):
 
 * nodes are block-partitioned into P contiguous owned ranges (the generator's
-  row-major numbering is locality-preserving, so blocks are spatial stripes);
+  bandwidth-minimizing numbering is locality-preserving, so blocks are
+  spatial stripes);
 * each part additionally stores a one-deep **halo**: every non-owned node of
   an element touching an owned node;
 * a part's **local elements** are all elements with >= 1 owned node, and its
@@ -19,12 +20,18 @@ eDim node split, SURVEY §2.6):
   (reference: host MPI ``exchange_nod``, docs/refactoring.md:199-200), plus a
   ``fct_LO`` halo refresh in iterative mode.
 
+Local index space per part — the **[H | owned | H] layout**: columns
+``[0, H)`` hold the low-side halo (right-aligned, so the halo node adjacent
+to the first owned node sits at column H-1), ``[H, H+B)`` the owned block
+(left-aligned), ``[H+B, H+2H)`` the high-side halo (left-aligned).  Because
+a 1-D block partition of a bandwidth-ordered mesh has halos only at the two
+stripe ends, this keeps local node ids ascending in global id — the index
+locality the Pallas window planner requires — while the owned block sits at
+the FIXED offset H on every part (static slicing in the sharded step).
+
 All per-part arrays are padded to the maximum size across parts so the
 sharded step has static shapes; padded entities carry ``nlev = 1`` (all
 activity masks false) and index 0.
-
-Local index space per part: columns ``[0, B)`` owned (B = padded owned block
-size), ``[B, B + H)`` halo.
 """
 
 from __future__ import annotations
@@ -41,23 +48,34 @@ class PartitionedMesh:
     mesh: Mesh  # the global mesh
     n_parts: int
     B: int  # padded owned block size
-    H: int  # padded halo size
+    H: int  # padded one-side halo size
     E_loc: int  # padded local element count
     Ed_loc: int  # padded local edge count
 
     owned_count: np.ndarray  # [P]
-    halo_count: np.ndarray  # [P]
-    local_nodes_global: np.ndarray  # [P, B+H] global node id (-1 pad)
+    halo_lo_count: np.ndarray  # [P]
+    halo_hi_count: np.ndarray  # [P]
+    local_nodes_global: np.ndarray  # [P, 2H+B] global node id (-1 pad)
     local_elems_global: np.ndarray  # [P, E_loc] (-1 pad)
     local_edges_global: np.ndarray  # [P, Ed_loc] (-1 pad)
-    halo_src_part: np.ndarray  # [P, H] owner part of each halo node (0 pad)
-    halo_src_idx: np.ndarray  # [P, H] index in owner's owned block (0 pad)
+    # owner part / in-owned-block index per halo column, one map per side
+    # (low halo columns [0,H), high halo columns [H+B, H+B+H)); padding
+    # positions point at the part's own owned slot 0 (harmless, masked)
+    halo_lo_src_part: np.ndarray  # [P, H]
+    halo_lo_src_idx: np.ndarray  # [P, H]
+    halo_hi_src_part: np.ndarray  # [P, H]
+    halo_hi_src_idx: np.ndarray  # [P, H]
 
     local_meshes: list  # list of per-part Mesh with local connectivity
 
     @property
     def n_local(self) -> int:
-        return self.B + self.H
+        return self.B + 2 * self.H
+
+    @property
+    def owned_off(self) -> int:
+        """Column offset of the owned block (= H) in every part."""
+        return self.H
 
 
 def partition_mesh(mesh: Mesh, n_parts: int) -> PartitionedMesh:
@@ -75,49 +93,67 @@ def partition_mesh(mesh: Mesh, n_parts: int) -> PartitionedMesh:
         # local elements: any owned node
         e_mask = owned_set[mesh.elem_nodes].any(axis=1)
         elems = np.nonzero(e_mask)[0].astype(np.int32)
-        # halo: nodes of local elements that are not owned
+        # halo: nodes of local elements that are not owned, split by side
         enodes = np.unique(mesh.elem_nodes[elems])
         halo = enodes[~owned_set[enodes]].astype(np.int32)
+        halo_lo = halo[halo < bounds[p]]
+        halo_hi = halo[halo >= bounds[p + 1]]
         # local edges: any owned endpoint
         ed_mask = owned_set[mesh.edges].any(axis=1)
         eds = np.nonzero(ed_mask)[0].astype(np.int32)
-        parts.append((owned, halo, elems, eds))
+        parts.append((owned, halo_lo, halo_hi, elems, eds))
 
     B = max(len(pt[0]) for pt in parts)
-    H = max((len(pt[1]) for pt in parts), default=1)
+    H = max(max(len(pt[1]), len(pt[2])) for pt in parts)
     H = max(H, 1)
-    E_loc = max(len(pt[2]) for pt in parts)
-    Ed_loc = max(len(pt[3]) for pt in parts)
+    E_loc = max(len(pt[3]) for pt in parts)
+    Ed_loc = max(len(pt[4]) for pt in parts)
 
     P = n_parts
-    local_nodes_global = np.full((P, B + H), -1, dtype=np.int32)
+    n_loc = B + 2 * H
+    local_nodes_global = np.full((P, n_loc), -1, dtype=np.int32)
     local_elems_global = np.full((P, E_loc), -1, dtype=np.int32)
     local_edges_global = np.full((P, Ed_loc), -1, dtype=np.int32)
     owned_count = np.zeros(P, dtype=np.int32)
-    halo_count = np.zeros(P, dtype=np.int32)
-    halo_src_part = np.zeros((P, H), dtype=np.int32)
-    halo_src_idx = np.zeros((P, H), dtype=np.int32)
+    halo_lo_count = np.zeros(P, dtype=np.int32)
+    halo_hi_count = np.zeros(P, dtype=np.int32)
+    halo_lo_src_part = np.zeros((P, H), dtype=np.int32)
+    halo_lo_src_idx = np.zeros((P, H), dtype=np.int32)
+    halo_hi_src_part = np.zeros((P, H), dtype=np.int32)
+    halo_hi_src_idx = np.zeros((P, H), dtype=np.int32)
     local_meshes = []
 
-    for p, (owned, halo, elems, eds) in enumerate(parts):
-        no, nh = len(owned), len(halo)
+    for p, (owned, halo_lo, halo_hi, elems, eds) in enumerate(parts):
+        no, h1, h2 = len(owned), len(halo_lo), len(halo_hi)
         owned_count[p] = no
-        halo_count[p] = nh
-        local_nodes_global[p, :no] = owned
-        local_nodes_global[p, B : B + nh] = halo
+        halo_lo_count[p] = h1
+        halo_hi_count[p] = h2
+        lo_pos = np.arange(H - h1, H)
+        own_pos = np.arange(H, H + no)
+        hi_pos = np.arange(H + B, H + B + h2)
+        local_nodes_global[p, lo_pos] = halo_lo
+        local_nodes_global[p, own_pos] = owned
+        local_nodes_global[p, hi_pos] = halo_hi
+
+        # per-side exchange source maps (pad positions -> own part, idx 0)
+        halo_lo_src_part[p] = p
+        halo_hi_src_part[p] = p
+        if h1:
+            halo_lo_src_part[p, H - h1:] = owner[halo_lo]
+            halo_lo_src_idx[p, H - h1:] = halo_lo - bounds[owner[halo_lo]]
+        if h2:
+            halo_hi_src_part[p, :h2] = owner[halo_hi]
+            halo_hi_src_idx[p, :h2] = halo_hi - bounds[owner[halo_hi]]
+
         local_elems_global[p, : len(elems)] = elems
         local_edges_global[p, : len(eds)] = eds
-        halo_src_part[p, :nh] = owner[halo]
-        # owner's owned block starts at bounds[owner]; owned blocks are
-        # contiguous, so the in-block index is just the offset
-        halo_src_idx[p, :nh] = halo - bounds[owner[halo]]
 
-        # global -> local node map (owned at [0, no), halo at [B, B+nh))
+        # global -> local node map
         g2l = np.full(N, 0, dtype=np.int32)
-        g2l[owned] = np.arange(no, dtype=np.int32)
-        g2l[halo] = B + np.arange(nh, dtype=np.int32)
+        g2l[halo_lo] = lo_pos.astype(np.int32)
+        g2l[owned] = own_pos.astype(np.int32)
+        g2l[halo_hi] = hi_pos.astype(np.int32)
 
-        # global -> local edge map for re-indexing node->edge incidence
         g2l_edge = np.full(mesh.n_edges, -1, dtype=np.int32)
         g2l_edge[eds] = np.arange(len(eds), dtype=np.int32)
         g2l_elem = np.full(mesh.n_elems, -1, dtype=np.int32)
@@ -125,8 +161,8 @@ def partition_mesh(mesh: Mesh, n_parts: int) -> PartitionedMesh:
 
         local_meshes.append(
             _build_local_mesh(
-                mesh, owned, halo, elems, eds, g2l, g2l_elem, g2l_edge,
-                B, H, E_loc, Ed_loc,
+                mesh, owned, halo_lo, halo_hi, elems, eds, g2l, g2l_elem,
+                g2l_edge, B, H, E_loc, Ed_loc,
             )
         )
 
@@ -138,30 +174,37 @@ def partition_mesh(mesh: Mesh, n_parts: int) -> PartitionedMesh:
         E_loc=E_loc,
         Ed_loc=Ed_loc,
         owned_count=owned_count,
-        halo_count=halo_count,
+        halo_lo_count=halo_lo_count,
+        halo_hi_count=halo_hi_count,
         local_nodes_global=local_nodes_global,
         local_elems_global=local_elems_global,
         local_edges_global=local_edges_global,
-        halo_src_part=halo_src_part,
-        halo_src_idx=halo_src_idx,
+        halo_lo_src_part=halo_lo_src_part,
+        halo_lo_src_idx=halo_lo_src_idx,
+        halo_hi_src_part=halo_hi_src_part,
+        halo_hi_src_idx=halo_hi_src_idx,
         local_meshes=local_meshes,
     )
 
 
-def _build_local_mesh(mesh, owned, halo, elems, eds, g2l, g2l_elem, g2l_edge,
-                      B, H, E_loc, Ed_loc) -> Mesh:
+def _build_local_mesh(mesh, owned, halo_lo, halo_hi, elems, eds, g2l,
+                      g2l_elem, g2l_edge, B, H, E_loc, Ed_loc) -> Mesh:
     """Re-index the global connectivity into the part's padded local space.
 
     Padded entities get nlev = 1 / nlev_edge = 0, which makes every activity
-    mask false, and index 0, which is always a valid (owned) slot."""
-    no, nh = len(owned), len(halo)
-    n_loc = B + H
-    L = mesh.n_layers
+    mask false, and index 0, which is always a valid (inactive) slot."""
+    no = len(owned)
+    n_loc = B + 2 * H
 
-    # nodes
-    nlev_nod = np.ones(n_loc, dtype=np.int32)
-    nlev_nod[:no] = mesh.nlev_nod[owned]
-    nlev_nod[B : B + nh] = mesh.nlev_nod[halo]
+    # node-level arrays via the local->global id list
+    lids = np.full(n_loc, -1, dtype=np.int64)
+    lids[H - len(halo_lo):H] = halo_lo
+    lids[H:H + no] = owned
+    lids[H + B:H + B + len(halo_hi)] = halo_hi
+    present = lids >= 0
+    safe = np.where(present, lids, 0)
+
+    nlev_nod = np.where(present, mesh.nlev_nod[safe], 1).astype(np.int32)
 
     # elements (local node ids)
     elem_nodes = np.zeros((E_loc, 3), dtype=np.int32)
@@ -169,7 +212,9 @@ def _build_local_mesh(mesh, owned, halo, elems, eds, g2l, g2l_elem, g2l_edge,
     nlev_elem = np.ones(E_loc, dtype=np.int32)
     nlev_elem[: len(elems)] = mesh.nlev_elem[elems]
 
-    # edges (local node ids)
+    # edges (local node ids).  Local ids are ascending in global id, so the
+    # canonical n0 < n1 orientation and the sort by min endpoint survive
+    # re-indexing (the properties the Pallas split windows rely on).
     edges = np.zeros((Ed_loc, 2), dtype=np.int32)
     edges[: len(eds)] = g2l[mesh.edges[eds]]
     nlev_edge = np.zeros(Ed_loc, dtype=np.int32)
@@ -185,11 +230,11 @@ def _build_local_mesh(mesh, owned, halo, elems, eds, g2l, g2l_elem, g2l_edge,
     ge = mesh.node_elems[owned]  # [no, KE] global elems (-1 pad)
     le = np.where(ge >= 0, g2l_elem[np.where(ge >= 0, ge, 0)], -1)
     assert (le[ge >= 0] >= 0).all(), "owned node touches non-local element"
-    node_elems[:no] = np.where(le >= 0, le, 0)
-    node_elems_pos[:no] = np.where(
+    node_elems[H:H + no] = np.where(le >= 0, le, 0)
+    node_elems_pos[H:H + no] = np.where(
         mesh.node_elems_pos[owned] >= 0, mesh.node_elems_pos[owned], 0
     )
-    node_elems_num[:no] = mesh.node_elems_num[owned]
+    node_elems_num[H:H + no] = mesh.node_elems_num[owned]
 
     # node -> edge incidence: same owned-only contract
     KD = mesh.node_edges.shape[1]
@@ -199,19 +244,17 @@ def _build_local_mesh(mesh, owned, halo, elems, eds, g2l, g2l_elem, g2l_edge,
     gd = mesh.node_edges[owned]
     ld = np.where(gd >= 0, g2l_edge[np.where(gd >= 0, gd, 0)], -1)
     assert (ld[gd >= 0] >= 0).all(), "owned node touches non-local edge"
-    node_edges[:no] = np.where(ld >= 0, ld, 0)
-    node_edges_sign[:no] = np.where(
+    node_edges[H:H + no] = np.where(ld >= 0, ld, 0)
+    node_edges_sign[H:H + no] = np.where(
         gd >= 0, mesh.node_edges_sign[owned], 0
     )
-    node_edges_num[:no] = mesh.node_edges_num[owned]
+    node_edges_num[H:H + no] = mesh.node_edges_num[owned]
 
     # geometry
     node_xy = np.zeros((n_loc, 2))
-    node_xy[:no] = mesh.node_xy[owned]
-    node_xy[B : B + nh] = mesh.node_xy[halo]
+    node_xy[present] = mesh.node_xy[lids[present]]
     area = np.ones((mesh.nl, n_loc))
-    area[:, :no] = mesh.area[:, owned]
-    area[:, B : B + nh] = mesh.area[:, halo]
+    area[:, present] = mesh.area[:, lids[present]]
 
     return Mesh(
         nl=mesh.nl,
@@ -234,9 +277,9 @@ def _build_local_mesh(mesh, owned, halo, elems, eds, g2l, g2l_elem, g2l_edge,
 
 
 def scatter_node_field(pm: PartitionedMesh, field: np.ndarray) -> np.ndarray:
-    """Global [*, N] node field -> per-part [P, *, B+H] (pad columns = 0)."""
+    """Global [*, N] node field -> per-part [P, *, 2H+B] (pad columns = 0)."""
     idx = np.where(pm.local_nodes_global >= 0, pm.local_nodes_global, 0)
-    out = field[..., idx]  # [*, P, B+H]
+    out = field[..., idx]  # [*, P, 2H+B]
     out = np.moveaxis(out, -2, 0)
     mask = pm.local_nodes_global >= 0
     out = out * mask.reshape((out.shape[0],) + (1,) * (out.ndim - 2) + (-1,))
@@ -254,12 +297,13 @@ def scatter_edge_field(pm: PartitionedMesh, field: np.ndarray) -> np.ndarray:
 
 
 def gather_node_field(pm: PartitionedMesh, local: np.ndarray) -> np.ndarray:
-    """Per-part [P, *, B+H] -> global [*, N] using owned columns only."""
+    """Per-part [P, *, >=2H+B] -> global [*, N] using owned columns only."""
     N = pm.mesh.n_nodes
+    H = pm.H
     lead = local.shape[1:-1]
     out = np.zeros(lead + (N,), dtype=local.dtype)
     for p in range(pm.n_parts):
         no = pm.owned_count[p]
-        gids = pm.local_nodes_global[p, :no]
-        out[..., gids] = local[p, ..., :no]
+        gids = pm.local_nodes_global[p, H:H + no]
+        out[..., gids] = local[p, ..., H:H + no]
     return out

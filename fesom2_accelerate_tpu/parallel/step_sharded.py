@@ -12,7 +12,16 @@ collective inside ``shard_map``:
     halo columns filled       ->  b3_horizontal, stage c (local)
 
 The collective result is consumed only by b3_horizontal, so XLA's scheduler
-is free to run the exchange concurrently with b3_vertical.
+is free to run the exchange concurrently with node-local work.
+
+Two backends:
+
+* ``xla``   — jnp stages per shard (any dtype; the f64 correctness path);
+* ``pallas`` — the fused 4-kernel chain per shard (f32 TPU perf path),
+  enabled by the partition's [H | owned | H] local layout which preserves
+  the index locality the Pallas window planner needs.  All parts share one
+  PallasStatic (max window blocks across parts) so shard_map sees a single
+  program.
 
 Current exchange primitive is an all-gather of the padded owned block (simple
 and correct at small device counts); a neighbor-only ``ppermute`` pipeline
@@ -39,28 +48,32 @@ from fesom2_accelerate_tpu.parallel import partition as part_mod
 from fesom2_accelerate_tpu.parallel.partition import PartitionedMesh
 
 
-def _halo_fill(x, src_part, src_idx, B, axis_name="p"):
-    """Replace the halo columns of ``x`` [.., B+H] with values gathered from
-    their owners' owned blocks.  One all-gather over the device axis."""
-    own = x[..., :B]
+def _halo_fill(x, hmaps, B, H, axis_name="p"):
+    """Rebuild the halo columns of ``x`` [.., >= 2H+B] from their owners'
+    owned blocks.  One all-gather over the device axis; any padded columns
+    beyond 2H+B pass through unchanged."""
+    lo_part, lo_idx, hi_part, hi_idx = hmaps
+    own = x[..., H:H + B]
     g = jax.lax.all_gather(own, axis_name)  # [P, .., B]
     g = jnp.moveaxis(g, 0, -2)  # [.., P, B]
     flat = g.reshape(g.shape[:-2] + (-1,))  # [.., P*B]
-    halo = jnp.take(flat, src_part * B + src_idx, axis=-1)  # [.., H]
-    return jnp.concatenate([own, halo], axis=-1)
+    lo = jnp.take(flat, lo_part * B + lo_idx, axis=-1)  # [.., H]
+    hi = jnp.take(flat, hi_part * B + hi_idx, axis=-1)  # [.., H]
+    tail = x[..., 2 * H + B:]
+    return jnp.concatenate([lo, own, hi, tail], axis=-1)
 
 
-def sharded_fct_ale_step(md: MeshData, cfg: FctAleConfig, B: int,
-                         src_part, src_idx, state: dict,
-                         axis_name: str = "p") -> dict:
-    """One FCT-ALE step on this device's subdomain (runs inside shard_map)."""
+def sharded_fct_ale_step(md: MeshData, cfg: FctAleConfig, B: int, H: int,
+                         hmaps, state: dict, axis_name: str = "p") -> dict:
+    """One XLA-path FCT-ALE step on this device's subdomain (runs inside
+    shard_map)."""
     lim = single.pre_comm(md, cfg, state["ttf"], state["fct_LO"],
                           state["fct_adf_v"], state["fct_adf_h"])
     plus, minus = lim["fct_plus"], lim["fct_minus"]
 
     # start the halo exchange of both limiter-factor fields ...
     both = jnp.stack([plus, minus])
-    both = _halo_fill(both, src_part, src_idx, B, axis_name)
+    both = _halo_fill(both, hmaps, B, H, axis_name)
 
     # ... while b3_vertical (pure node-local, owned columns already final)
     # runs on the pre-exchange values — the reference's inter_comm overlap
@@ -81,7 +94,7 @@ def sharded_fct_ale_step(md: MeshData, cfg: FctAleConfig, B: int,
             md, state["fct_LO"], adf_v, adf_h, state["hnode_new"], cfg.dt
         )
         # halo refresh so the next iteration's a1 sees current fct_LO
-        new_LO = _halo_fill(new_LO, src_part, src_idx, B, axis_name)
+        new_LO = _halo_fill(new_LO, hmaps, B, H, axis_name)
         out.update(
             fct_LO=new_LO, fct_adf_v=adf_v2, fct_adf_h=adf_h2,
             fct_adf_v_limited=adf_v, fct_adf_h_limited=adf_h,
@@ -104,44 +117,95 @@ class ShardedFctAleSolver:
 
     The global mesh is partitioned host-side (:func:`partition_mesh`); every
     per-part array is stacked to a ``[P, ...]`` leading axis and sharded over
-    the devices, so each device holds exactly its subdomain."""
+    the devices, so each device holds exactly its subdomain.
+
+    backend: "xla" (any dtype) or "pallas" (fused 4-kernel chain per shard,
+    f32-only; state lives in the padded kernel layout)."""
 
     def __init__(self, mesh: Mesh, cfg: FctAleConfig = FctAleConfig(),
-                 devices=None, axis_name: str = "p"):
+                 devices=None, axis_name: str = "p", backend: str = "xla"):
         self.mesh = mesh
         self.cfg = cfg
         self.axis_name = axis_name
+        self.backend = backend
         devices = devices if devices is not None else jax.devices()
         self.n_parts = len(devices)
         self.jax_mesh = JaxMesh(np.asarray(devices), (axis_name,))
         self.pm: PartitionedMesh = part_mod.partition_mesh(mesh, self.n_parts)
+        pm = self.pm
 
-        # stacked per-part MeshData, sharded over the leading axis
-        mds = [build_mesh_data(m, dtype=cfg.dtype) for m in self.pm.local_meshes]
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *mds)
         shard = NamedSharding(self.jax_mesh, P(axis_name))
-        self.md = jax.tree.map(lambda x: jax.device_put(x, shard), stacked)
-        self.src_part = jax.device_put(
-            jnp.asarray(self.pm.halo_src_part), shard
-        )
-        self.src_idx = jax.device_put(jnp.asarray(self.pm.halo_src_idx), shard)
         self._sharding = shard
 
-        def local_step(md, src_part, src_idx, state):
-            # shard_map blocks carry a leading length-1 device axis
-            md = jax.tree.map(lambda x: x[0], md)
-            state = jax.tree.map(lambda x: x[0], state)
-            out = sharded_fct_ale_step(
-                md, cfg, self.pm.B, src_part[0], src_idx[0], state,
-                axis_name,
+        def put_stacked(arrays):
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *arrays)
+            return jax.tree.map(lambda x: jax.device_put(x, shard), stacked)
+
+        self._hmaps = jax.device_put(
+            (jnp.asarray(pm.halo_lo_src_part), jnp.asarray(pm.halo_lo_src_idx),
+             jnp.asarray(pm.halo_hi_src_part), jnp.asarray(pm.halo_hi_src_idx)),
+            shard,
+        )
+        B, H = pm.B, pm.H
+
+        if backend == "pallas":
+            from fesom2_accelerate_tpu.ops.pallas import step as pstep
+
+            assert cfg.dtype == jnp.float32, "pallas backend is f32-only"
+            # pass A: independent statics; pass B: rebuild under the common
+            # (max) static so shard_map sees one program on every device
+            statics = [pstep.build_pallas_data(m)[1] for m in pm.local_meshes]
+            common = dataclasses.replace(
+                statics[0],
+                Np=max(s.Np for s in statics),
+                Ep=max(s.Ep for s in statics),
+                Edp=max(s.Edp for s in statics),
+                a3f_nblocks=max(s.a3f_nblocks for s in statics),
+                ne_lo_nblocks=max(s.ne_lo_nblocks for s in statics),
+                ne_hi_nblocks=max(s.ne_hi_nblocks for s in statics),
+                b3h_lo_nblocks=max(s.b3h_lo_nblocks for s in statics),
+                b3h_hi_nblocks=max(s.b3h_hi_nblocks for s in statics),
+                a2_nblocks=max(s.a2_nblocks for s in statics),
             )
-            return jax.tree.map(lambda x: x[None], out)
+            pds = [pstep.build_pallas_data(m, common=common)[0]
+                   for m in pm.local_meshes]
+            self.ps = common
+            self.md = put_stacked(pds)
+            self._pstep = pstep
+
+            def local_step(pd, hmaps, state):
+                pd = jax.tree.map(lambda x: x[0], pd)
+                hmaps = jax.tree.map(lambda x: x[0], hmaps)
+                state = jax.tree.map(lambda x: x[0], state)
+                exchange = functools.partial(
+                    _halo_fill, hmaps=hmaps, B=B, H=H, axis_name=axis_name
+                )
+                out = pstep.fct_ale_step_pallas_padded(
+                    pd, common, cfg, state, exchange=exchange
+                )
+                return jax.tree.map(lambda x: x[None], out)
+
+        else:
+            mds = [build_mesh_data(m, dtype=cfg.dtype)
+                   for m in pm.local_meshes]
+            self.md = put_stacked(mds)
+
+            def local_step(md, hmaps, state):
+                md = jax.tree.map(lambda x: x[0], md)
+                hmaps = jax.tree.map(lambda x: x[0], hmaps)
+                state = jax.tree.map(lambda x: x[0], state)
+                out = sharded_fct_ale_step(md, cfg, B, H, hmaps, state,
+                                           axis_name)
+                return jax.tree.map(lambda x: x[None], out)
 
         smapped = jax.shard_map(
             local_step,
             mesh=self.jax_mesh,
-            in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
+            in_specs=(P(axis_name), P(axis_name), P(axis_name)),
             out_specs=P(axis_name),
+            # pallas_call out_shapes carry no varying-mesh-axis annotation;
+            # collectives here are explicit, so skip the vma check
+            check_vma=False,
         )
         # no donate_argnums: see model/fct_ale.py — donation degrades
         # XLA:TPU compile and run time drastically for this program shape.
@@ -162,17 +226,23 @@ class ShardedFctAleSolver:
                 loc = part_mod.scatter_edge_field(pm, v)
             else:
                 raise ValueError(f"unknown field layout for {k}: {v.shape}")
-            out[k] = jax.device_put(
-                jnp.asarray(loc, dtype=self.cfg.dtype), self._sharding
-            )
-        return out
+            out[k] = jnp.asarray(loc, dtype=self.cfg.dtype)
+        if self.backend == "pallas":
+            # pad each part to the kernel layout (stacked, then sharded)
+            ps = self.ps
+            pad = jax.vmap(functools.partial(self._pstep.pad_state, ps),
+                           in_axes=0, out_axes=0)
+            out = pad(out)
+        return {
+            k: jax.device_put(v, self._sharding) for k, v in out.items()
+        }
 
     def gather_node(self, arr) -> np.ndarray:
         return part_mod.gather_node_field(self.pm, np.asarray(arr))
 
     # ---- stepping -------------------------------------------------------
     def step(self, state: dict) -> dict:
-        return self._step(self.md, self.src_part, self.src_idx, state)
+        return self._step(self.md, self._hmaps, state)
 
     def run(self, state: dict, n_steps: int) -> dict:
         if not hasattr(self, "_scan_cache"):
@@ -181,14 +251,13 @@ class ShardedFctAleSolver:
             smapped = self._smapped
 
             @jax.jit
-            def scan_steps(md, src_part, src_idx, s):
+            def scan_steps(md, hmaps, s):
                 def body(c, _):
-                    new = smapped(md, src_part, src_idx, c)
+                    new = smapped(md, hmaps, c)
                     return {k: new[k] for k in c}, None
 
                 s, _ = jax.lax.scan(body, s, None, length=n_steps)
                 return s
 
             self._scan_cache[n_steps] = scan_steps
-        return self._scan_cache[n_steps](self.md, self.src_part,
-                                         self.src_idx, state)
+        return self._scan_cache[n_steps](self.md, self._hmaps, state)

@@ -27,17 +27,25 @@ def test_partition_covers_mesh(setup):
     pm = partition_mesh(mesh, 4)
     # every node owned exactly once
     owned_all = np.concatenate([
-        pm.local_nodes_global[p, : pm.owned_count[p]]
+        pm.local_nodes_global[p, pm.H : pm.H + pm.owned_count[p]]
         for p in range(pm.n_parts)
     ])
     assert sorted(owned_all.tolist()) == list(range(mesh.n_nodes))
-    # halo sources point at the right global nodes
+    # halo sources point at the right global nodes ([H | owned | H] layout)
+    H, B = pm.H, pm.B
     for p in range(pm.n_parts):
-        nh = pm.halo_count[p]
-        for h in range(nh):
-            gid = pm.local_nodes_global[p, pm.B + h]
-            src = pm.halo_src_part[p, h]
-            assert pm.local_nodes_global[src, pm.halo_src_idx[p, h]] == gid
+        h1, h2 = pm.halo_lo_count[p], pm.halo_hi_count[p]
+        for h in range(h1):
+            pos = H - h1 + h
+            gid = pm.local_nodes_global[p, pos]
+            src = pm.halo_lo_src_part[p, pos]
+            idx = pm.halo_lo_src_idx[p, pos]
+            assert pm.local_nodes_global[src, H + idx] == gid
+        for h in range(h2):
+            gid = pm.local_nodes_global[p, H + B + h]
+            src = pm.halo_hi_src_part[p, h]
+            idx = pm.halo_hi_src_idx[p, h]
+            assert pm.local_nodes_global[src, H + idx] == gid
 
 
 def test_scatter_gather_roundtrip(setup):
@@ -72,6 +80,39 @@ def test_sharded_matches_single(setup, iter_yn):
     got = sh.gather_node(out["fct_adf_v"])
     masked_allclose(got, np.asarray(ref_out["fct_adf_v"]), rtol=1e-12,
                     atol=1e-12, msg="sharded[fct_adf_v]")
+
+
+@pytest.mark.parametrize("iter_yn", [False, True])
+def test_sharded_pallas_matches_single(setup, iter_yn):
+    """The fused 4-kernel Pallas chain per shard (interpret mode) agrees
+    with the single-device XLA step."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    mesh, fields = setup
+    fields32 = {k: v.astype(np.float32) for k, v in fields.items()}
+    cfg = FctAleConfig(dt=0.7, iter_yn=iter_yn, dtype=jnp.float32,
+                       flux_eps=1e-7)
+
+    ref_solver = FctAleSolver(mesh, cfg)
+    ref_out = ref_solver.step(ref_solver.init_state(fields32))
+
+    with pltpu.force_tpu_interpret_mode():
+        sh = ShardedFctAleSolver(mesh, cfg, backend="pallas")
+        out = sh.step(sh.init_state(fields32))
+
+    node_keys = ["fct_plus", "fct_minus", "fct_ttf_max", "fct_ttf_min"]
+    node_keys += (
+        ["fct_LO"] if iter_yn else ["del_ttf_advvert", "del_ttf_advhoriz"]
+    )
+    for k in node_keys:
+        got = sh.gather_node(out[k])[: mesh.n_layers]
+        ref = np.asarray(ref_out[k])
+        err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1.0)
+        assert err < 2e-6, f"sharded-pallas[{k}] relerr {err:.2e}"
+    got = sh.gather_node(out["fct_adf_v"])[: mesh.n_layers + 1]
+    ref = np.asarray(ref_out["fct_adf_v"])
+    err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1.0)
+    assert err < 2e-6, f"sharded-pallas[fct_adf_v] relerr {err:.2e}"
 
 
 def test_sharded_multistep(setup):
