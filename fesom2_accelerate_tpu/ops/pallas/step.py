@@ -86,6 +86,7 @@ class PallasData:
 class PallasStatic:
     """Static companion of PallasData (shapes / window block counts)."""
 
+    tile: int
     L: int
     Lp: int
     Lpv: int
@@ -185,6 +186,7 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None):
         j_a2 = common.a2_nblocks
         Np, Ep, Edp = common.Np, common.Ep, common.Edp
         assert common.L == L and common.N == N and common.Ed == Ed
+        assert common.tile == TILE
     else:
         # entity padding: a multiple of TILE (output tiles) that also covers
         # the last tile's window reads ((max win_block + J) * BLOCK columns)
@@ -272,6 +274,7 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None):
         nlev_elem_row=i32(padded.nlev_elem[None, :]),
     )
     static = PallasStatic(
+        tile=TILE,
         L=L, Lp=Lp, Lpv=_ru(L + 1, 8), N=N, Np=Np, E=E, Ep=Ep, Ed=Ed,
         Edp=Edp, KD=KD,
         a3f_nblocks=j_a3f, ne_lo_nblocks=j_lo, ne_hi_nblocks=j_hi,
@@ -353,14 +356,14 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
         # edges with per-neighbor level bounds
         tt = kernels.bounds_pallas(
             fct_LO, ttf, pd.a3f_lidx, pd.a3f_lev, pd.a3f_wb,
-            pd.nlev_nod_row, tile=TILE, nblocks=ps.a3f_nblocks, K=ps.KD,
+            pd.nlev_nod_row, tile=ps.tile, nblocks=ps.a3f_nblocks, K=ps.KD,
         )
     else:
         tmax, tmin = stages.a1(md, fct_LO[:L], ttf[:L])
         src = _stack2(tmax, tmin, Lp)
         UV = kernels.a2_pallas(
             src, pd.a2_lidx, pd.a2_wb, pd.nlev_elem_row,
-            tile=TILE, nblocks=ps.a2_nblocks, bignumber=cfg.bignumber,
+            tile=ps.tile, nblocks=ps.a2_nblocks, bignumber=cfg.bignumber,
         )
         UV_max, UV_min = UV[:L], UV[Lp:Lp + L]
         tmax2, tmin2 = stages._a3_vlimit23(
@@ -371,7 +374,7 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
     # K2: b1 vertical + b1 horizontal scatter + b2
     pm = kernels.limit_pallas(
         adf_v, tt, pd.area_inv_pad, adf_h_pad, pd.starts_col, pd.ends_col,
-        pd.nlev_edge_row, pd.ne_wb, pd.nlev_nod_row, tile=TILE,
+        pd.nlev_edge_row, pd.ne_wb, pd.nlev_nod_row, tile=ps.tile,
         nblocks_lo=ps.ne_lo_nblocks, nblocks_hi=ps.ne_hi_nblocks, L=L,
         dt=dt, flux_eps=float(cfg.flux_eps),
     )
@@ -382,7 +385,7 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
     # K3: b3 horizontal (split endpoint gathers)
     adf_h_lim_pad, adf_h_resid_pad = kernels.b3h_pallas(
         pm, adf_h_pad, pd.b3h_lidx_lo, pd.b3h_lidx_hi, pd.b3h_wb,
-        pd.nlev_edge_row, tile=TILE, nblocks_lo=ps.b3h_lo_nblocks,
+        pd.nlev_edge_row, tile=ps.tile, nblocks_lo=ps.b3h_lo_nblocks,
         nblocks_hi=ps.b3h_hi_nblocks,
     )
 
@@ -391,7 +394,7 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
         pm, adf_v, ttf, state["hnode"], state["hnode_new"], fct_LO,
         state["del_ttf_advvert"], state["del_ttf_advhoriz"],
         pd.area_inv_pad, adf_h_lim_pad, pd.starts_col, pd.ends_col,
-        pd.nlev_edge_row, pd.ne_wb, pd.nlev_nod_row, tile=TILE,
+        pd.nlev_edge_row, pd.ne_wb, pd.nlev_nod_row, tile=ps.tile,
         nblocks_lo=ps.ne_lo_nblocks, nblocks_hi=ps.ne_hi_nblocks, L=L,
         dt=dt, iter_yn=cfg.iter_yn,
     )

@@ -98,6 +98,70 @@ def tune_a2(mesh, tiles=(128, 256, 512), iters=20, rtol=1e-5):
     return results
 
 
+def tune_step(mesh, tiles=(256, 512), steps=10, rtol=1e-4,
+              preset_name=""):
+    """Sweep the fused Pallas step's tile size; validate each configuration
+    against the f64 numpy oracle; report time + throughput.
+
+    The whole-step analogue of the reference's per-kernel tuning
+    (kernel_tuner `tune_kernel` with `answer=`, kernels/fct_ale_a1.py:57-96):
+    every swept configuration is also a correctness test.  (tile=128 is
+    excluded by default: Mosaic promotes the [Edp, 1] id columns to SMEM at
+    that tile count and overflows its 1 MiB budget on CORE2-scale meshes.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from fesom2_accelerate_tpu.config import FctAleConfig
+    from fesom2_accelerate_tpu.mesh.generate import random_fields
+    from fesom2_accelerate_tpu.model.fct_ale import FctAleSolver
+    from fesom2_accelerate_tpu.ops import oracle
+    from fesom2_accelerate_tpu.ops.pallas import step as pstep
+    from fesom2_accelerate_tpu.runtime.profiling import (
+        fct_ale_step_bytes,
+        grid_points,
+    )
+
+    fields = random_fields(mesh, seed=0, dtype=np.float32)
+    cfg = FctAleConfig(dt=0.5, dtype=jnp.float32, flux_eps=1e-7)
+    ref = oracle.fct_ale_step(
+        mesh, {k: v.astype(np.float64) for k, v in fields.items()},
+        vlimit=1, dt=0.5, flux_eps=1e-7,
+    )
+    nbytes = fct_ale_step_bytes(mesh, 4)
+    gp = grid_points(mesh)
+
+    results = []
+    for tile in tiles:
+        old_tile = pstep.TILE
+        try:
+            pstep.TILE = tile
+            solver = FctAleSolver(mesh, cfg, backend="pallas")
+        finally:
+            pstep.TILE = old_tile
+        state = solver.init_state(fields)
+        out = solver.step(state)
+        err = 0.0
+        for k in ("fct_plus", "fct_minus", "del_ttf_advvert",
+                  "del_ttf_advhoriz", "fct_adf_h"):
+            a = np.asarray(out[k], np.float64)
+            err = max(err, np.abs(a - ref[k]).max()
+                      / max(np.abs(ref[k]).max(), 1.0))
+        run = solver.run(state, steps)
+        _sync(run["fct_adf_h"])
+        t0 = time.perf_counter()
+        run = solver.run(state, steps)
+        _sync(run["fct_adf_h"])
+        ms = (time.perf_counter() - t0) / steps * 1e3
+        results.append(TuneResult(
+            params=dict(tile=tile, preset=preset_name),
+            ms=round(ms, 4),
+            gbps=round(nbytes / (ms * 1e-3) / 1e9, 2),
+            max_relerr=float(err),
+            ok=bool(err < rtol),
+        ))
+    return results
+
+
 def best(results):
     ok = [r for r in results if r.ok]
     return min(ok, key=lambda r: r.ms) if ok else None

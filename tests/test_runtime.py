@@ -52,3 +52,18 @@ def test_time_stages_report(tiny_mesh):
                            "b3h", "c"}
     for v in report.values():
         assert v["ms"] > 0 and v["GBps"] >= 0
+
+
+def test_tune_step_validates_against_oracle():
+    """The whole-step autotuner (kernel_tuner analogue) validates every
+    swept tile configuration against the f64 oracle."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fesom2_accelerate_tpu.mesh import generate_planar_mesh
+    from fesom2_accelerate_tpu.utils import tuning
+
+    mesh = generate_planar_mesh(preset="tiny")
+    with pltpu.force_tpu_interpret_mode():
+        results = tuning.tune_step(mesh, tiles=(64,), steps=2)
+    assert all(r.ok for r in results)
+    assert tuning.best(results) is not None
