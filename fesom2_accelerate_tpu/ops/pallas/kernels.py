@@ -219,22 +219,20 @@ def _vertical_shift_rows(arr, Lp, up_fill, dn_fill):
 # --------------------------------------------------------------------------
 
 
-def _bounds_kernel(wb_ref, lidx_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref,
-                   *refs, Lp, TN, K, J):
-    lo_refs, ttf_refs = refs[:J], refs[J:2 * J]
-    out_ref = refs[2 * J]
+def _gather_bounded(lo_refs, ttf_refs, lidx_ref, lev_ref, C, Lp):
+    """Gather level-bounded a1 max/min at C neighbor slots -> [2Lp, C].
+
+    a1 runs on the window in-kernel (no masking needed: values beyond a
+    neighbor's active depth are excluded by the level-bound penalty
+    P[z, c] = BIG where z >= lev_c, built as a step-matrix contraction;
+    invalid slots carry lev 0 -> fully masked, and their gather is 0 via
+    the sentinel index)."""
     lo_w = _concat(lo_refs)
     tt_w = _concat(ttf_refs)
-    # a1 on the window: values beyond a neighbor's active depth are excluded
-    # by the level-bound penalty below, so no masking is needed here
     slab = jnp.concatenate(
         [jnp.maximum(lo_w, tt_w), jnp.minimum(lo_w, tt_w)], axis=0
     )
-    C = K * TN
     g = _gather_dot(slab, _lcol(lidx_ref), C)
-
-    # level-bound penalty: P[z, c] = BIG where z >= lev_c (invalid slots
-    # carry lev 0 -> fully masked; their gather is 0 via the sentinel)
     lev = _lcol(lev_ref)  # [C, 1]
     ohL = (_col_iota((C, Lp)) == lev).astype(jnp.float32)  # [C, Lp]
     zstep = (_row_iota((Lp, Lp)) >= _col_iota((Lp, Lp))).astype(jnp.float32)
@@ -242,9 +240,22 @@ def _bounds_kernel(wb_ref, lidx_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref,
         zstep * _BIG, ohL, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [Lp, C]
+    return jnp.concatenate([g[:Lp] - P, g[Lp:] + P], axis=0)
 
-    gmax = g[:Lp] - P
-    gmin = g[Lp:] + P
+
+def _bounds_kernel(wb_ref, lidx_lo_ref, lev_lo_ref, lidx_hi_ref, lev_hi_ref,
+                   nlev_ref, lo_t_ref, ttf_t_ref, *refs,
+                   Lp, TN, K1, K2, J1, J2):
+    o = 0
+    LO_lo = refs[o:o + J1]; o += J1
+    TT_lo = refs[o:o + J1]; o += J1
+    LO_hi = refs[o:o + J2]; o += J2
+    TT_hi = refs[o:o + J2]; o += J2
+    out_ref = refs[o]
+
+    g1 = _gather_bounded(LO_lo, TT_lo, lidx_lo_ref, lev_lo_ref, K1 * TN, Lp)
+    g2 = _gather_bounded(LO_hi, TT_hi, lidx_hi_ref, lev_hi_ref, K2 * TN, Lp)
+
     z = _row_iota((Lp, TN))
     nlev = nlev_ref[:]
     active = z < (nlev - 1)
@@ -252,10 +263,11 @@ def _bounds_kernel(wb_ref, lidx_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref,
     tt_t = ttf_t_ref[:]
     acc_max = jnp.where(active, jnp.maximum(lo_t, tt_t), -_BIG)
     acc_min = jnp.where(active, jnp.minimum(lo_t, tt_t), _BIG)
-    for k in range(K):
-        sl = slice(k * TN, (k + 1) * TN)
-        acc_max = jnp.maximum(acc_max, gmax[:, sl])
-        acc_min = jnp.minimum(acc_min, gmin[:, sl])
+    for g, K in ((g1, K1), (g2, K2)):
+        for k in range(K):
+            sl = slice(k * TN, (k + 1) * TN)
+            acc_max = jnp.maximum(acc_max, g[:Lp, sl])
+            acc_min = jnp.minimum(acc_min, g[Lp:, sl])
 
     up_max, dn_max = _vertical_shift_rows(acc_max, Lp, -_BIG, -_BIG)
     up_min, dn_min = _vertical_shift_rows(acc_min, Lp, _BIG, _BIG)
@@ -268,35 +280,43 @@ def _bounds_kernel(wb_ref, lidx_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref,
     out_ref[Lp:] = jnp.where(active, sel_min - lo_t, 0.0)
 
 
-def bounds_pallas(fct_LO_pad, ttf_pad, lidx, lev, wb, nlev_nod_row, *,
-                  tile, nblocks, K):
+def bounds_pallas(fct_LO_pad, ttf_pad, lidx_lo, lev_lo, lidx_hi, lev_hi,
+                  wb2, nlev_nod_row, *, tile, nblocks_lo, nblocks_hi,
+                  K_lo, K_hi):
     """fct_LO/ttf [Lp, Np] -> fct_ttf stacked [2Lp, Np] (a1+a2+a3,
-    vlimit=1)."""
+    vlimit=1).  Neighbors are split by side (ids below/above the node) so
+    each side's gather uses its own narrow window."""
     Lp, Np = fct_LO_pad.shape
-    T, C, _ = lidx.shape
+    T, C1, _ = lidx_lo.shape
     TN = tile
-    assert C == K * TN
+    assert C1 == K_lo * TN and lidx_hi.shape[1] == K_hi * TN
+    J1, J2 = nblocks_lo, nblocks_hi
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
-            pl.BlockSpec((1, C, 1), lambda i, wb: (i, 0, 0)),
+            pl.BlockSpec((1, C1, 1), lambda i, wb: (i, 0, 0)),
+            pl.BlockSpec((1, C1, 1), lambda i, wb: (i, 0, 0)),
+            pl.BlockSpec((1, K_hi * TN, 1), lambda i, wb: (i, 0, 0)),
+            pl.BlockSpec((1, K_hi * TN, 1), lambda i, wb: (i, 0, 0)),
             _tile_spec((1, TN)),
             _tile_spec((Lp, TN)),
             _tile_spec((Lp, TN)),
-            *_win_specs(Lp, nblocks, 0, n=2),
+            *_win_specs(Lp, J1, 0, n=2),
+            *_win_specs(Lp, J2, 1, n=2),
         ],
         out_specs=_tile_spec((2 * Lp, TN)),
     )
-    kernel = functools.partial(_bounds_kernel, Lp=Lp, TN=TN, K=K, J=nblocks)
+    kernel = functools.partial(_bounds_kernel, Lp=Lp, TN=TN, K1=K_lo,
+                               K2=K_hi, J1=J1, J2=J2)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         compiler_params=_COMPILER_PARAMS,
         out_shape=jax.ShapeDtypeStruct((2 * Lp, Np), jnp.float32),
-    )(wb, lidx, lev, nlev_nod_row, fct_LO_pad, ttf_pad,
-      *([fct_LO_pad] * nblocks), *([ttf_pad] * nblocks))
+    )(wb2, lidx_lo, lev_lo, lidx_hi, lev_hi, nlev_nod_row, fct_LO_pad,
+      ttf_pad, *([fct_LO_pad] * J1), *([ttf_pad] * J1),
+      *([fct_LO_pad] * J2), *([ttf_pad] * J2))
 
 
 # --------------------------------------------------------------------------

@@ -40,6 +40,28 @@ def _ru(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pack_rows(vals: np.ndarray, extra: np.ndarray, sel: np.ndarray,
+               min_k: int = 1):
+    """Left-pack the selected entries of each row.
+
+    Returns (packed_vals, packed_extra, packed_valid) with K =
+    max(row selection count, min_k) columns."""
+    counts = sel.sum(axis=1)
+    K = max(int(counts.max()) if len(counts) else 0, min_k)
+    M = sel.shape[0]
+    offs = np.zeros(M + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    r, _ = np.nonzero(sel)
+    slot = np.arange(len(r)) - offs[r]
+    out_v = np.zeros((M, K), dtype=vals.dtype)
+    out_e = np.zeros((M, K), dtype=extra.dtype)
+    out_m = np.zeros((M, K), dtype=bool)
+    out_v[r, slot] = vals[sel]
+    out_e[r, slot] = extra[sel]
+    out_m[r, slot] = True
+    return out_v, out_e, out_m
+
+
 def _tile_cols(a: np.ndarray) -> np.ndarray:
     """[T, C] per-tile index rows -> [T, C, 1] column vectors.
 
@@ -59,10 +81,12 @@ class PallasData:
     area_inv_pad: jax.Array  # [Lp, Np]
 
     # K1 bounds (gather neighbor nodes -> nodes, with per-neighbor level
-    # bounds = nlev_edge of the connecting edge)
-    a3f_lidx: jax.Array
-    a3f_lev: jax.Array
-    a3f_wb: jax.Array  # [T_n, 2] (col 0 used)
+    # bounds = nlev_edge of the connecting edge), split by neighbor side
+    a3f_lidx_lo: jax.Array
+    a3f_lev_lo: jax.Array
+    a3f_lidx_hi: jax.Array
+    a3f_lev_hi: jax.Array
+    a3f_wb: jax.Array  # [T_n, 2] (lo window block, hi window block)
 
     # edge scatter windows per node tile (K2, K4): lo = edges starting in
     # the tile (narrow), hi = edges ending in it (bandwidth-wide)
@@ -96,8 +120,10 @@ class PallasStatic:
     Ep: int
     Ed: int
     Edp: int
-    KD: int  # max node->edge degree
-    a3f_nblocks: int
+    K_lo: int  # max below-side neighbor count
+    K_hi: int  # max above-side neighbor count
+    a3f_lo_nblocks: int
+    a3f_hi_nblocks: int
     ne_lo_nblocks: int
     ne_hi_nblocks: int
     b3h_lo_nblocks: int
@@ -154,34 +180,49 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None):
     is_lo = nd_valid & (mesh.node_edges_sign == 1)
     is_hi = nd_valid & (mesh.node_edges_sign == -1)
 
-    # other endpoint + connecting-edge level bound per node->edge incidence
+    # other endpoint + connecting-edge level bound per node->edge incidence,
+    # split by side: neighbors below the node (narrow window: ids within
+    # [n - bw, n)) vs above — each side gathers over its own window
     ends = mesh.edges[nd_idx]  # [N, KD, 2]
     nd_other = np.where(mesh.node_edges_sign == 1, ends[:, :, 1],
                         ends[:, :, 0])
     nd_other = np.where(nd_valid, nd_other, 0)
     nd_lev = np.where(nd_valid, mesh.nlev_edge[nd_idx], 0)
+    n_col = np.arange(N, dtype=np.int64)[:, None]
+    k_lo_min = common.K_lo if common is not None else 1
+    k_hi_min = common.K_hi if common is not None else 1
+    oth_lo, lev_lo, val_lo = _pack_rows(
+        nd_other, nd_lev, nd_valid & (nd_other < n_col), k_lo_min)
+    oth_hi, lev_hi, val_hi = _pack_rows(
+        nd_other, nd_lev, nd_valid & (nd_other > n_col), k_hi_min)
+    K_lo, K_hi = oth_lo.shape[1], oth_hi.shape[1]
 
     ones1 = np.ones((Ed, 1), dtype=bool)
 
     # pass 1: window block counts from raw index arrays
-    p_a3f = build_gather_plan(nd_other, nd_valid, TILE, N)
+    p_a3f_lo = build_gather_plan(oth_lo, val_lo, TILE, N)
+    p_a3f_hi = build_gather_plan(oth_hi, val_hi, TILE, N)
     p_lo = build_gather_plan(nd_idx, is_lo, TILE, Ed)
     p_hi = build_gather_plan(nd_idx, is_hi, TILE, Ed)
     p_b3lo = build_gather_plan(mesh.edges[:, 0:1], ones1, TILE, N)
     p_b3hi = build_gather_plan(mesh.edges[:, 1:2], ones1, TILE, N)
     p_a2 = build_gather_plan(mesh.elem_nodes, ones3, TILE, N)
-    j_a3f, j_lo, j_hi = p_a3f.nblocks, p_lo.nblocks, p_hi.nblocks
+    j_a3f_lo, j_a3f_hi = p_a3f_lo.nblocks, p_a3f_hi.nblocks
+    j_lo, j_hi = p_lo.nblocks, p_hi.nblocks
     j_b3lo, j_b3hi, j_a2 = p_b3lo.nblocks, p_b3hi.nblocks, p_a2.nblocks
 
     if common is not None:
-        assert (j_a3f <= common.a3f_nblocks
+        assert (j_a3f_lo <= common.a3f_lo_nblocks
+                and j_a3f_hi <= common.a3f_hi_nblocks
                 and j_lo <= common.ne_lo_nblocks
                 and j_hi <= common.ne_hi_nblocks
                 and j_b3lo <= common.b3h_lo_nblocks
                 and j_b3hi <= common.b3h_hi_nblocks
-                and j_a2 <= common.a2_nblocks), "mesh exceeds common static"
-        j_a3f, j_lo, j_hi = (common.a3f_nblocks, common.ne_lo_nblocks,
-                             common.ne_hi_nblocks)
+                and j_a2 <= common.a2_nblocks
+                and K_lo == common.K_lo and K_hi == common.K_hi), (
+            "mesh exceeds common static")
+        j_a3f_lo, j_a3f_hi = common.a3f_lo_nblocks, common.a3f_hi_nblocks
+        j_lo, j_hi = common.ne_lo_nblocks, common.ne_hi_nblocks
         j_b3lo, j_b3hi = common.b3h_lo_nblocks, common.b3h_hi_nblocks
         j_a2 = common.a2_nblocks
         Np, Ep, Edp = common.Np, common.Ep, common.Edp
@@ -190,7 +231,7 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None):
     else:
         # entity padding: a multiple of TILE (output tiles) that also covers
         # the last tile's window reads ((max win_block + J) * BLOCK columns)
-        j_node = max(j_a3f, j_b3lo, j_b3hi, j_a2)
+        j_node = max(j_a3f_lo, j_a3f_hi, j_b3lo, j_b3hi, j_a2)
         j_edge = max(j_lo, j_hi)
         Np = _ru(_ru(N, BLOCK) + j_node * BLOCK, TILE)
         Edp = _ru(_ru(Ed, BLOCK) + j_edge * BLOCK, TILE)
@@ -203,9 +244,13 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None):
 
     # pass 2: rebuild with padded output rows so tile counts match the
     # padded entity sizes exactly
-    p_a3f = build_gather_plan(
-        pad_rows(nd_other, Np), pad_rows(nd_valid, Np, False), TILE, Np,
-        min_blocks=j_a3f,
+    p_a3f_lo = build_gather_plan(
+        pad_rows(oth_lo, Np), pad_rows(val_lo, Np, False), TILE, Np,
+        min_blocks=j_a3f_lo,
+    )
+    p_a3f_hi = build_gather_plan(
+        pad_rows(oth_hi, Np), pad_rows(val_hi, Np, False), TILE, Np,
+        min_blocks=j_a3f_hi,
     )
     p_lo = build_gather_plan(
         pad_rows(nd_idx, Np), pad_rows(is_lo, Np, False), TILE, Edp,
@@ -227,17 +272,20 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None):
         pad_rows(mesh.elem_nodes, Ep), pad_rows(ones3, Ep, False), TILE, Np,
         min_blocks=j_a2,
     )
-    for p, j in ((p_a3f, j_a3f), (p_lo, j_lo), (p_hi, j_hi),
-                 (p_b3lo, j_b3lo), (p_b3hi, j_b3hi), (p_a2, j_a2)):
+    for p, j in ((p_a3f_lo, j_a3f_lo), (p_a3f_hi, j_a3f_hi), (p_lo, j_lo),
+                 (p_hi, j_hi), (p_b3lo, j_b3lo), (p_b3hi, j_b3hi),
+                 (p_a2, j_a2)):
         assert p.nblocks == j
 
-    # per-incidence level bound in the same k-major column layout as the plan
-    KD = nd_other.shape[1]
-    lev_p = pad_rows(nd_lev, Np)
+    # per-incidence level bounds in the same k-major column layout as the
+    # plans (one per side)
     T_n = Np // TILE
-    lev_km = lev_p.reshape(T_n, TILE, KD).transpose(0, 2, 1).reshape(
-        T_n, KD * TILE
-    )
+
+    def lev_km(lev, K):
+        lp = pad_rows(lev, Np)
+        return lp.reshape(T_n, TILE, K).transpose(0, 2, 1).reshape(
+            T_n, K * TILE
+        )
 
     padded = _pad_mesh(mesh, Np, Ep, Edp)
     md = build_mesh_data(padded, dtype=jnp.float32)
@@ -259,9 +307,11 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None):
         md=md,
         nlev_nod_row=i32(padded.nlev_nod[None, :]),
         area_inv_pad=jnp.asarray(area_inv),
-        a3f_lidx=i32(_tile_cols(p_a3f.local_idx)),
-        a3f_lev=i32(_tile_cols(lev_km)),
-        a3f_wb=i32(wb2(p_a3f)),
+        a3f_lidx_lo=i32(_tile_cols(p_a3f_lo.local_idx)),
+        a3f_lev_lo=i32(_tile_cols(lev_km(lev_lo, K_lo))),
+        a3f_lidx_hi=i32(_tile_cols(p_a3f_hi.local_idx)),
+        a3f_lev_hi=i32(_tile_cols(lev_km(lev_hi, K_hi))),
+        a3f_wb=i32(wb2(p_a3f_lo, p_a3f_hi)),
         ne_wb=i32(wb2(p_lo, p_hi)),
         starts_col=i32(starts),
         ends_col=i32(ends),
@@ -276,8 +326,9 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None):
     static = PallasStatic(
         tile=TILE,
         L=L, Lp=Lp, Lpv=_ru(L + 1, 8), N=N, Np=Np, E=E, Ep=Ep, Ed=Ed,
-        Edp=Edp, KD=KD,
-        a3f_nblocks=j_a3f, ne_lo_nblocks=j_lo, ne_hi_nblocks=j_hi,
+        Edp=Edp, K_lo=K_lo, K_hi=K_hi,
+        a3f_lo_nblocks=j_a3f_lo, a3f_hi_nblocks=j_a3f_hi,
+        ne_lo_nblocks=j_lo, ne_hi_nblocks=j_hi,
         b3h_lo_nblocks=j_b3lo, b3h_hi_nblocks=j_b3hi, a2_nblocks=j_a2,
     )
     return data, static
@@ -355,8 +406,10 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
         # K1: a1 + fused a2+a3 (no UV array): neighbor max over incident
         # edges with per-neighbor level bounds
         tt = kernels.bounds_pallas(
-            fct_LO, ttf, pd.a3f_lidx, pd.a3f_lev, pd.a3f_wb,
-            pd.nlev_nod_row, tile=ps.tile, nblocks=ps.a3f_nblocks, K=ps.KD,
+            fct_LO, ttf, pd.a3f_lidx_lo, pd.a3f_lev_lo, pd.a3f_lidx_hi,
+            pd.a3f_lev_hi, pd.a3f_wb, pd.nlev_nod_row, tile=ps.tile,
+            nblocks_lo=ps.a3f_lo_nblocks, nblocks_hi=ps.a3f_hi_nblocks,
+            K_lo=ps.K_lo, K_hi=ps.K_hi,
         )
     else:
         tmax, tmin = stages.a1(md, fct_LO[:L], ttf[:L])

@@ -160,7 +160,10 @@ class ShardedFctAleSolver:
                 Np=max(s.Np for s in statics),
                 Ep=max(s.Ep for s in statics),
                 Edp=max(s.Edp for s in statics),
-                a3f_nblocks=max(s.a3f_nblocks for s in statics),
+                K_lo=max(s.K_lo for s in statics),
+                K_hi=max(s.K_hi for s in statics),
+                a3f_lo_nblocks=max(s.a3f_lo_nblocks for s in statics),
+                a3f_hi_nblocks=max(s.a3f_hi_nblocks for s in statics),
                 ne_lo_nblocks=max(s.ne_lo_nblocks for s in statics),
                 ne_hi_nblocks=max(s.ne_hi_nblocks for s in statics),
                 b3h_lo_nblocks=max(s.b3h_lo_nblocks for s in statics),
