@@ -2,8 +2,11 @@
 
 The reference carries ``stress2rhs`` CPU-only as future porting scope
 (src/reference.cpp:440-480, docs/refactoring.md:404-462); here it is a
-first-class jitted op using the same transposed node->element incidence as
-stage a3, so the element->node scatter is a deterministic gather.
+first-class jitted op with two backends:
+
+* ``xla``   — transposed node->element incidence gather (any dtype);
+* ``pallas`` — windowed one-hot scatter kernel (f32), the same machinery as
+  the FCT-ALE chain's edge scatters (ops/pallas/kernels.py:stress2rhs_pallas).
 """
 
 from __future__ import annotations
@@ -12,19 +15,92 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fesom2_accelerate_tpu.mesh.topology import Mesh
 from fesom2_accelerate_tpu.ops import stages
 from fesom2_accelerate_tpu.ops.meshdata import build_mesh_data
 
 
+def _ru(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 class Stress2RhsSolver:
-    def __init__(self, mesh: Mesh, dtype=jnp.float32):
+    def __init__(self, mesh: Mesh, dtype=jnp.float32, backend: str = "xla"):
         self.mesh = mesh
         self.dtype = dtype
+        self.backend = backend
         self.md = build_mesh_data(mesh, dtype=dtype)
-        # md as argument, not closure (HLO-constant-inlining footgun)
-        self._fn = jax.jit(stages.stress2rhs)
+        if backend == "pallas":
+            from fesom2_accelerate_tpu.ops.pallas import kernels
+            from fesom2_accelerate_tpu.ops.pallas.plan import (
+                BLOCK,
+                build_gather_plan,
+            )
+            from fesom2_accelerate_tpu.ops.pallas.step import TILE
+
+            assert dtype == jnp.float32, "pallas backend is f32-only"
+            N, E = mesh.n_nodes, mesh.n_elems
+            ne_valid = np.arange(mesh.node_elems.shape[1])[None, :] < (
+                mesh.node_elems_num[:, None]
+            )
+            ne_idx = np.where(mesh.node_elems >= 0, mesh.node_elems, 0)
+            p = build_gather_plan(ne_idx, ne_valid, TILE, E)
+            self._Np = _ru(N, TILE)
+            self._Ep = _ru(E, BLOCK) + p.nblocks * BLOCK
+
+            def pad_rows(a, n, fill=0):
+                out = np.full((n,) + a.shape[1:], fill, dtype=a.dtype)
+                out[: a.shape[0]] = a
+                return out
+
+            p = build_gather_plan(
+                pad_rows(ne_idx, self._Np), pad_rows(ne_valid, self._Np, False),
+                TILE, self._Ep, min_blocks=p.nblocks,
+            )
+            self._J = p.nblocks
+            self._wb2 = jnp.asarray(
+                np.stack([p.win_block, p.win_block], axis=1), jnp.int32
+            )
+            ids = [
+                jnp.asarray(
+                    pad_rows(mesh.elem_nodes[:, k:k + 1], self._Ep, fill=-1),
+                    jnp.int32,
+                )
+                for k in range(3)
+            ]
+            self._ids = ids
+            s2r = functools.partial(kernels.stress2rhs_pallas, tile=TILE,
+                                    nblocks=self._J)
+            N_, Np_, Ep_, E_ = N, self._Np, self._Ep, E
+
+            def fn(wb2, ids0, ids1, ids2, elem_area, ice_strength, sigma11,
+                   sigma12, sigma22, gradient_sca, metric_factor,
+                   inv_areamass, rhs_a, rhs_m):
+                def pe(x):  # pad element row to [1, Ep]
+                    return jnp.pad(x[None, :], ((0, 0), (0, Ep_ - E_)))
+
+                ea = pe(jnp.where(ice_strength > 0.0, elem_area, 0.0))
+                packed = jnp.concatenate(
+                    [pe(sigma11), pe(sigma12), pe(sigma22), ea,
+                     pe(metric_factor) / 3.0]
+                    + [pe(gradient_sca[k]) for k in range(6)]
+                    + [jnp.zeros((5, Ep_), jnp.float32)],
+                    axis=0,
+                )  # [16, Ep]
+
+                def pn(x):  # pad node row to [1, Np]
+                    return jnp.pad(x[None, :], ((0, 0), (0, Np_ - N_)))
+
+                out = s2r(packed, ids0, ids1, ids2, pn(inv_areamass),
+                          pn(rhs_a), pn(rhs_m), wb2)
+                return out[0, :N_], out[1, :N_]
+
+            self._fn = jax.jit(fn)
+        else:
+            # md as argument, not closure (HLO-constant-inlining footgun)
+            self._fn = jax.jit(stages.stress2rhs)
 
     def __call__(self, elem_area, ice_strength, sigma11, sigma12, sigma22,
                  gradient_sca, metric_factor, inv_areamass, rhs_a, rhs_m):
@@ -33,4 +109,6 @@ class Stress2RhsSolver:
             for a in (elem_area, ice_strength, sigma11, sigma12, sigma22,
                       gradient_sca, metric_factor, inv_areamass, rhs_a, rhs_m)
         ]
+        if self.backend == "pallas":
+            return self._fn(self._wb2, *self._ids, *args)
         return self._fn(self.md, *args)

@@ -660,3 +660,80 @@ def a2_pallas(src_stacked, lidx, wb2, nlev_elem_row, *, tile, nblocks,
         compiler_params=_COMPILER_PARAMS,
         out_shape=jax.ShapeDtypeStruct((Lp2, Ep), jnp.float32),
     )(wb2, lidx, nlev_elem_row, *([src_stacked] * nblocks))
+
+
+# --------------------------------------------------------------------------
+# stress2rhs: sea-ice EVP stress divergence (reference src/reference.cpp:
+# 440-480 — CPU-only there; here the element->node scatter of the three
+# per-corner contributions is a windowed one-hot contraction).  The workload
+# is 2-D (no vertical levels): element quantities arrive packed as rows of
+# one [16, Ep] slab, contributions are computed in-kernel per corner slot,
+# and U/V accumulate as a 2-row contraction.
+# Packed row layout: 0 s11, 1 s12, 2 s22, 3 area*ice_active, 4 mf/3,
+# 5..10 gradient_sca rows 0..5.
+# --------------------------------------------------------------------------
+
+
+def _s2r_kernel(wb_ref, iam_ref, ra_ref, rm_ref, *refs, TN, J):
+    o = 0
+    el_refs = refs[o:o + J]; o += J
+    id_refs = [refs[o + k * J:o + (k + 1) * J] for k in range(3)]
+    o += 3 * J
+    out_ref = refs[o]
+    el = _concat(el_refs)  # [16, W]
+    W = el.shape[1]
+    s11, s12, s22 = el[0:1], el[1:2], el[2:3]
+    ea, mf3 = el[3:4], el[4:5]
+    t0 = pl.program_id(0) * TN
+    chunk = min(W, 512)
+    acc = jnp.zeros((2, TN), jnp.float32)
+    for k in range(3):
+        ids = _concat_col(id_refs[k])
+        g_k = el[5 + k:6 + k]
+        g_k3 = el[8 + k:9 + k]
+        u_c = -ea * (s11 * g_k + s12 * g_k3 + s12 * mf3)
+        v_c = -ea * (s12 * g_k + s22 * g_k3 - s11 * mf3)
+        uv = jnp.concatenate([u_c, v_c], axis=0)  # [2, W]
+        for c0 in range(0, W, chunk):
+            cw = min(chunk, W - c0)
+            cols = _col_iota((cw, TN)) + t0
+            A = (ids[c0:c0 + cw, :] == cols).astype(jnp.float32)
+            for part in _split3(uv[:, c0:c0 + cw]):
+                acc = acc + jnp.dot(part, A,
+                                    preferred_element_type=jnp.float32)
+    iam = iam_ref[:]
+    has_mass = iam > 0.0
+    out_ref[0:1] = jnp.where(has_mass, acc[0:1] * iam + ra_ref[:], 0.0)
+    out_ref[1:2] = jnp.where(has_mass, acc[1:2] * iam + rm_ref[:], 0.0)
+    out_ref[2:] = jnp.zeros((6, TN), jnp.float32)
+
+
+def stress2rhs_pallas(elem_packed, ids0, ids1, ids2, inv_areamass_row,
+                      rhs_a_row, rhs_m_row, wb2, *, tile, nblocks):
+    """elem_packed [16, Ep] (see row layout above) -> [8, Np] with
+    U = row 0, V = row 1."""
+    _, Ep = elem_packed.shape
+    TN = tile
+    Np = inv_areamass_row.shape[1]
+    T = Np // TN
+    J = nblocks
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            _tile_spec((1, TN)),
+            _tile_spec((1, TN)),
+            _tile_spec((1, TN)),
+            *_win_specs(16, J, 0),
+            *_win_specs_col(J, 0, n=3),
+        ],
+        out_specs=_tile_spec((8, TN)),
+    )
+    kernel = functools.partial(_s2r_kernel, TN=TN, J=J)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        out_shape=jax.ShapeDtypeStruct((8, Np), jnp.float32),
+    )(wb2, inv_areamass_row, rhs_a_row, rhs_m_row,
+      *([elem_packed] * J), *([ids0] * J), *([ids1] * J), *([ids2] * J))

@@ -112,3 +112,39 @@ def test_stress2rhs_vs_oracle(setup):
     )
     masked_allclose(np.asarray(U), rU, msg="stress2rhs U")
     masked_allclose(np.asarray(V), rV, msg="stress2rhs V")
+
+
+def test_stress2rhs_pallas_matches_oracle():
+    """The Pallas scatter kernel for the sea-ice EVP workload matches the
+    numpy oracle (reference src/reference.cpp:440-480 is CPU-only)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fesom2_accelerate_tpu.mesh import generate_planar_mesh
+    from fesom2_accelerate_tpu.model.stress2rhs import Stress2RhsSolver
+    from fesom2_accelerate_tpu.ops import oracle
+
+    mesh = generate_planar_mesh(preset="small")
+    rng = np.random.default_rng(7)
+    E, N = mesh.n_elems, mesh.n_nodes
+    elem_area = np.abs(rng.standard_normal(E)) + 0.1
+    ice_strength = rng.standard_normal(E)
+    sigma11, sigma12, sigma22 = rng.standard_normal((3, E))
+    gradient_sca = rng.standard_normal((6, E))
+    metric_factor = rng.standard_normal(E)
+    inv_areamass = rng.standard_normal(N)
+    rhs_a, rhs_m = rng.standard_normal((2, N))
+    args = (elem_area, ice_strength, sigma11, sigma12, sigma22,
+            gradient_sca, metric_factor, inv_areamass, rhs_a, rhs_m)
+
+    rU, rV = oracle.stress2rhs(
+        mesh.elem_nodes, mesh.node_elems, mesh.node_elems_pos,
+        mesh.node_elems_num, *args,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        solver = Stress2RhsSolver(mesh, dtype=jnp.float32, backend="pallas")
+        U, V = solver(*args)
+    for got, ref, name in ((U, rU, "U"), (V, rV, "V")):
+        err = np.abs(np.asarray(got, np.float64) - ref).max()
+        err /= max(np.abs(ref).max(), 1.0)
+        assert err < 2e-6, f"stress2rhs pallas {name}: relerr {err:.2e}"
