@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     ap.add_argument("--iter", action="store_true", help="iterative FCT mode")
     ap.add_argument("--backend", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument("--workload", default="fct_ale",
+                    choices=["fct_ale", "stress2rhs"])
     args = ap.parse_args()
 
     import jax
@@ -53,6 +55,9 @@ def main():
         jax.config.update("jax_enable_x64", True)
 
     mesh = generate_planar_mesh(preset=args.preset)
+    if args.workload == "stress2rhs":
+        _bench_stress2rhs(mesh, args, dtype)
+        return
     fields = random_fields(mesh, seed=0, dtype=np.float64)
     cfg = FctAleConfig(dt=0.5, iter_yn=args.iter, dtype=dtype,
                        flux_eps=1e-16 if args.dtype == "f64" else 1e-7)
@@ -91,6 +96,43 @@ def main():
             "eff_GBps": round(model_bytes / dt_s / 1e9, 1),
             "device": str(getattr(dev, "device_kind", dev)),
         },
+    }))
+
+
+def _bench_stress2rhs(mesh, args, dtype):
+    """Second workload (reference src/reference.cpp:440-480, CPU-only there):
+    element->node EVP stress divergence, Pallas scatter or XLA gather."""
+    import jax
+    import jax.numpy as jnp
+
+    from fesom2_accelerate_tpu.model.stress2rhs import Stress2RhsSolver
+
+    rng = np.random.default_rng(7)
+    E, N = mesh.n_elems, mesh.n_nodes
+    host = (np.abs(rng.standard_normal(E)) + 0.1, rng.standard_normal(E),
+            *rng.standard_normal((3, E)), rng.standard_normal((6, E)),
+            rng.standard_normal(E), rng.standard_normal(N),
+            *rng.standard_normal((2, N)))
+    dargs = [jnp.asarray(a, dtype) for a in host]
+    solver = Stress2RhsSolver(mesh, dtype=dtype, backend=args.backend)
+
+    def sync():
+        return float(jnp.sum(solver(*dargs)[0]))
+
+    sync()
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        out = solver(*dargs)
+    float(jnp.sum(out[0]))
+    dt_s = (time.perf_counter() - t0) / args.steps
+    dev = jax.devices()[0]
+    print(json.dumps({
+        "metric": f"stress2rhs_{args.preset}_{args.dtype}_{args.backend}",
+        "value": round(N / dt_s, 1),
+        "unit": "nodes/s/chip",
+        "vs_baseline": 0.0,
+        "detail": {"call_ms": round(dt_s * 1e3, 3),
+                   "device": str(getattr(dev, "device_kind", dev))},
     }))
 
 
