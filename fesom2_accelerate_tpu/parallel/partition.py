@@ -66,6 +66,20 @@ class PartitionedMesh:
     halo_hi_src_part: np.ndarray  # [P, H]
     halo_hi_src_idx: np.ndarray  # [P, H]
 
+    # neighbor-only exchange (the reference's MPI point-to-point
+    # ``exchange_nod`` analogue, docs/refactoring.md:200): packed send lists.
+    # True iff every lo halo is owned by part p-1 and every hi halo by p+1
+    # (holds whenever block size >= mesh bandwidth); then the exchange is two
+    # ppermute shifts of H-wide slabs instead of a P*B all-gather.
+    neighbor_only: bool
+    # owned-block indices part p sends up to p+1 (packed right-aligned in
+    # the order of p+1's lo-halo columns) / down to p-1 (left-aligned, the
+    # order of p-1's hi-halo columns)
+    send_up_idx: np.ndarray  # [P, H]
+    send_dn_idx: np.ndarray  # [P, H]
+    halo_lo_mask: np.ndarray  # [P, H] valid lo-halo columns
+    halo_hi_mask: np.ndarray  # [P, H] valid hi-halo columns
+
     local_meshes: list  # list of per-part Mesh with local connectivity
 
     @property
@@ -121,6 +135,8 @@ def partition_mesh(mesh: Mesh, n_parts: int) -> PartitionedMesh:
     halo_lo_src_idx = np.zeros((P, H), dtype=np.int32)
     halo_hi_src_part = np.zeros((P, H), dtype=np.int32)
     halo_hi_src_idx = np.zeros((P, H), dtype=np.int32)
+    halo_lo_mask = np.zeros((P, H), dtype=bool)
+    halo_hi_mask = np.zeros((P, H), dtype=bool)
     local_meshes = []
 
     for p, (owned, halo_lo, halo_hi, elems, eds) in enumerate(parts):
@@ -145,6 +161,9 @@ def partition_mesh(mesh: Mesh, n_parts: int) -> PartitionedMesh:
             halo_hi_src_part[p, :h2] = owner[halo_hi]
             halo_hi_src_idx[p, :h2] = halo_hi - bounds[owner[halo_hi]]
 
+        halo_lo_mask[p, H - h1:] = True
+        halo_hi_mask[p, :h2] = True
+
         local_elems_global[p, : len(elems)] = elems
         local_edges_global[p, : len(eds)] = eds
 
@@ -166,6 +185,26 @@ def partition_mesh(mesh: Mesh, n_parts: int) -> PartitionedMesh:
             )
         )
 
+    # packed neighbor send lists: part p's owned indices ordered as the
+    # receiving neighbor's halo columns expect them (pad slots -> idx 0,
+    # masked at the receiver)
+    neighbor_only = True
+    send_up_idx = np.zeros((P, H), dtype=np.int32)
+    send_dn_idx = np.zeros((P, H), dtype=np.int32)
+    for p in range(P):
+        _, halo_lo, halo_hi, _, _ = parts[p]
+        if len(halo_lo) and not (owner[halo_lo] == p - 1).all():
+            neighbor_only = False
+        if len(halo_hi) and not (owner[halo_hi] == p + 1).all():
+            neighbor_only = False
+    if neighbor_only:
+        for p in range(P - 1):
+            nxt_lo = parts[p + 1][1]  # p+1's lo halo, ascending global ids
+            send_up_idx[p, H - len(nxt_lo):] = nxt_lo - bounds[p]
+        for p in range(1, P):
+            prv_hi = parts[p - 1][2]  # p-1's hi halo
+            send_dn_idx[p, : len(prv_hi)] = prv_hi - bounds[p]
+
     return PartitionedMesh(
         mesh=mesh,
         n_parts=n_parts,
@@ -183,6 +222,11 @@ def partition_mesh(mesh: Mesh, n_parts: int) -> PartitionedMesh:
         halo_lo_src_idx=halo_lo_src_idx,
         halo_hi_src_part=halo_hi_src_part,
         halo_hi_src_idx=halo_hi_src_idx,
+        neighbor_only=neighbor_only,
+        send_up_idx=send_up_idx,
+        send_dn_idx=send_dn_idx,
+        halo_lo_mask=halo_lo_mask,
+        halo_hi_mask=halo_hi_mask,
         local_meshes=local_meshes,
     )
 

@@ -23,9 +23,13 @@ Two backends:
   PallasStatic (max window blocks across parts) so shard_map sees a single
   program.
 
-Current exchange primitive is an all-gather of the padded owned block (simple
-and correct at small device counts); a neighbor-only ``ppermute`` pipeline
-with packed send lists is the planned upgrade for large meshes (SURVEY §2.6).
+Two exchange primitives (SURVEY §2.6 "halo-exchange communication"):
+
+* ``ppermute`` (default when the partition is neighbor-only, which holds
+  whenever block size >= mesh bandwidth): packed send lists + two one-hop
+  shifts over ICI — comm volume 2H per part, the direct analogue of the
+  host's point-to-point ``exchange_nod``;
+* ``allgather`` fallback for pathological partitions (comm volume P*B).
 """
 
 from __future__ import annotations
@@ -63,17 +67,38 @@ def _halo_fill(x, hmaps, B, H, axis_name="p"):
     return jnp.concatenate([lo, own, hi, tail], axis=-1)
 
 
-def sharded_fct_ale_step(md: MeshData, cfg: FctAleConfig, B: int, H: int,
-                         hmaps, state: dict, axis_name: str = "p") -> dict:
+def _halo_fill_nbr(x, smaps, B, H, n_parts, axis_name="p"):
+    """Neighbor-only halo fill: the MPI point-to-point ``exchange_nod``
+    analogue (docs/refactoring.md:200).  Each part packs the owned columns
+    its two stripe neighbors need (precomputed ``send_up/dn_idx``) and the
+    slabs move one hop over ICI via ``ppermute`` — comm volume 2H per part
+    instead of the all-gather's P*B.  Requires PartitionedMesh.neighbor_only
+    (block size >= mesh bandwidth)."""
+    send_up_idx, send_dn_idx, lo_mask, hi_mask = smaps
+    own = x[..., H:H + B]
+    up = jnp.take(own, send_up_idx, axis=-1)  # [.., H] for part p+1's lo halo
+    dn = jnp.take(own, send_dn_idx, axis=-1)  # [.., H] for part p-1's hi halo
+    fwd = [(p, p + 1) for p in range(n_parts - 1)]
+    bwd = [(p, p - 1) for p in range(1, n_parts)]
+    lo = jax.lax.ppermute(up, axis_name, fwd)  # recv from p-1 (0 at part 0)
+    hi = jax.lax.ppermute(dn, axis_name, bwd)  # recv from p+1 (0 at last)
+    lo = jnp.where(lo_mask, lo, 0)
+    hi = jnp.where(hi_mask, hi, 0)
+    tail = x[..., 2 * H + B:]
+    return jnp.concatenate([lo, own, hi, tail], axis=-1)
+
+
+def sharded_fct_ale_step(md: MeshData, cfg: FctAleConfig, exchange,
+                         state: dict) -> dict:
     """One XLA-path FCT-ALE step on this device's subdomain (runs inside
-    shard_map)."""
+    shard_map).  ``exchange``: halo-fill callable (all-gather or ppermute)."""
     lim = single.pre_comm(md, cfg, state["ttf"], state["fct_LO"],
                           state["fct_adf_v"], state["fct_adf_h"])
     plus, minus = lim["fct_plus"], lim["fct_minus"]
 
     # start the halo exchange of both limiter-factor fields ...
     both = jnp.stack([plus, minus])
-    both = _halo_fill(both, hmaps, B, H, axis_name)
+    both = exchange(both)
 
     # ... while b3_vertical (pure node-local, owned columns already final)
     # runs on the pre-exchange values — the reference's inter_comm overlap
@@ -94,7 +119,7 @@ def sharded_fct_ale_step(md: MeshData, cfg: FctAleConfig, B: int, H: int,
             md, state["fct_LO"], adf_v, adf_h, state["hnode_new"], cfg.dt
         )
         # halo refresh so the next iteration's a1 sees current fct_LO
-        new_LO = _halo_fill(new_LO, hmaps, B, H, axis_name)
+        new_LO = exchange(new_LO)
         out.update(
             fct_LO=new_LO, fct_adf_v=adf_v2, fct_adf_h=adf_h2,
             fct_adf_v_limited=adf_v, fct_adf_h_limited=adf_h,
@@ -120,10 +145,15 @@ class ShardedFctAleSolver:
     the devices, so each device holds exactly its subdomain.
 
     backend: "xla" (any dtype) or "pallas" (fused 4-kernel chain per shard,
-    f32-only; state lives in the padded kernel layout)."""
+    f32-only; state lives in the padded kernel layout).
+
+    exchange: "auto" (ppermute when the partition is neighbor-only, else
+    all-gather), "ppermute" (force; raises if not neighbor-only), or
+    "allgather"."""
 
     def __init__(self, mesh: Mesh, cfg: FctAleConfig = FctAleConfig(),
-                 devices=None, axis_name: str = "p", backend: str = "xla"):
+                 devices=None, axis_name: str = "p", backend: str = "xla",
+                 exchange: str = "auto"):
         self.mesh = mesh
         self.cfg = cfg
         self.axis_name = axis_name
@@ -134,6 +164,17 @@ class ShardedFctAleSolver:
         self.pm: PartitionedMesh = part_mod.partition_mesh(mesh, self.n_parts)
         pm = self.pm
 
+        if exchange == "auto":
+            exchange = ("ppermute" if pm.neighbor_only and self.n_parts > 1
+                        else "allgather")
+        if exchange == "ppermute" and not pm.neighbor_only:
+            raise ValueError(
+                "partition is not neighbor-only (a halo crosses more than "
+                "one stripe: block size < mesh bandwidth); use "
+                "exchange='allgather' or reorder the mesh (mesh/ordering.py)"
+            )
+        self.exchange_mode = exchange
+
         shard = NamedSharding(self.jax_mesh, P(axis_name))
         self._sharding = shard
 
@@ -141,12 +182,29 @@ class ShardedFctAleSolver:
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *arrays)
             return jax.tree.map(lambda x: jax.device_put(x, shard), stacked)
 
-        self._hmaps = jax.device_put(
-            (jnp.asarray(pm.halo_lo_src_part), jnp.asarray(pm.halo_lo_src_idx),
-             jnp.asarray(pm.halo_hi_src_part), jnp.asarray(pm.halo_hi_src_idx)),
-            shard,
-        )
+        if exchange == "ppermute":
+            emaps = (jnp.asarray(pm.send_up_idx),
+                     jnp.asarray(pm.send_dn_idx),
+                     jnp.asarray(pm.halo_lo_mask),
+                     jnp.asarray(pm.halo_hi_mask))
+        else:
+            emaps = (jnp.asarray(pm.halo_lo_src_part),
+                     jnp.asarray(pm.halo_lo_src_idx),
+                     jnp.asarray(pm.halo_hi_src_part),
+                     jnp.asarray(pm.halo_hi_src_idx))
+        self._hmaps = jax.device_put(emaps, shard)
         B, H = pm.B, pm.H
+        n_parts = self.n_parts
+
+        def make_exchange(maps):
+            if self.exchange_mode == "ppermute":
+                return functools.partial(
+                    _halo_fill_nbr, smaps=maps, B=B, H=H, n_parts=n_parts,
+                    axis_name=axis_name,
+                )
+            return functools.partial(
+                _halo_fill, hmaps=maps, B=B, H=H, axis_name=axis_name
+            )
 
         if backend == "pallas":
             from fesom2_accelerate_tpu.ops.pallas import step as pstep
@@ -180,11 +238,8 @@ class ShardedFctAleSolver:
                 pd = jax.tree.map(lambda x: x[0], pd)
                 hmaps = jax.tree.map(lambda x: x[0], hmaps)
                 state = jax.tree.map(lambda x: x[0], state)
-                exchange = functools.partial(
-                    _halo_fill, hmaps=hmaps, B=B, H=H, axis_name=axis_name
-                )
                 out = pstep.fct_ale_step_pallas_padded(
-                    pd, common, cfg, state, exchange=exchange
+                    pd, common, cfg, state, exchange=make_exchange(hmaps)
                 )
                 return jax.tree.map(lambda x: x[None], out)
 
@@ -197,8 +252,8 @@ class ShardedFctAleSolver:
                 md = jax.tree.map(lambda x: x[0], md)
                 hmaps = jax.tree.map(lambda x: x[0], hmaps)
                 state = jax.tree.map(lambda x: x[0], state)
-                out = sharded_fct_ale_step(md, cfg, B, H, hmaps, state,
-                                           axis_name)
+                out = sharded_fct_ale_step(md, cfg, make_exchange(hmaps),
+                                           state)
                 return jax.tree.map(lambda x: x[None], out)
 
         smapped = jax.shard_map(

@@ -48,6 +48,28 @@ def test_partition_covers_mesh(setup):
             assert pm.local_nodes_global[src, H + idx] == gid
 
 
+def test_partition_neighbor_send_lists(setup):
+    """The packed ppermute send lists reproduce each neighbor's halo."""
+    mesh, _ = setup
+    pm = partition_mesh(mesh, 8)
+    assert pm.neighbor_only
+    H, B = pm.H, pm.B
+    for p in range(pm.n_parts - 1):
+        h = pm.halo_lo_count[p + 1]
+        sent = pm.local_nodes_global[p, H + pm.send_up_idx[p, H - h:]]
+        want = pm.local_nodes_global[p + 1, H - h:H]
+        np.testing.assert_array_equal(sent, want)
+    for p in range(1, pm.n_parts):
+        h = pm.halo_hi_count[p - 1]
+        sent = pm.local_nodes_global[p, H + pm.send_dn_idx[p, :h]]
+        want = pm.local_nodes_global[p - 1, H + B:H + B + h]
+        np.testing.assert_array_equal(sent, want)
+    # masks mark exactly the populated halo columns
+    for p in range(pm.n_parts):
+        assert pm.halo_lo_mask[p].sum() == pm.halo_lo_count[p]
+        assert pm.halo_hi_mask[p].sum() == pm.halo_hi_count[p]
+
+
 def test_scatter_gather_roundtrip(setup):
     mesh, fields = setup
     pm = partition_mesh(mesh, 4)
@@ -56,16 +78,18 @@ def test_scatter_gather_roundtrip(setup):
     np.testing.assert_array_equal(back, fields["ttf"])
 
 
+@pytest.mark.parametrize("exchange", ["ppermute", "allgather"])
 @pytest.mark.parametrize("iter_yn", [False, True])
-def test_sharded_matches_single(setup, iter_yn):
+def test_sharded_matches_single(setup, iter_yn, exchange):
     mesh, fields = setup
     cfg = FctAleConfig(dt=0.7, iter_yn=iter_yn, dtype=jnp.float64)
 
     ref_solver = FctAleSolver(mesh, cfg)
     ref_out = ref_solver.step(ref_solver.init_state(fields))
 
-    sh = ShardedFctAleSolver(mesh, cfg)
+    sh = ShardedFctAleSolver(mesh, cfg, exchange=exchange)
     assert sh.n_parts == 8
+    assert sh.exchange_mode == exchange
     out = sh.step(sh.init_state(fields))
 
     node_keys = ["fct_plus", "fct_minus", "fct_ttf_max", "fct_ttf_min"]
