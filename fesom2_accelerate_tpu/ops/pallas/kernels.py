@@ -245,7 +245,7 @@ def _gather_bounded(lo_refs, ttf_refs, lidx_ref, lev_ref, C, Lp):
 
 def _bounds_kernel(wb_ref, lidx_lo_ref, lev_lo_ref, lidx_hi_ref, lev_hi_ref,
                    nlev_ref, lo_t_ref, ttf_t_ref, *refs,
-                   Lp, TN, K1, K2, J1, J2):
+                   Lp, TN, K1, K2, J1, J2, vlimit):
     o = 0
     LO_lo = refs[o:o + J1]; o += J1
     TT_lo = refs[o:o + J1]; o += J1
@@ -261,6 +261,7 @@ def _bounds_kernel(wb_ref, lidx_lo_ref, lev_lo_ref, lidx_hi_ref, lev_hi_ref,
     active = z < (nlev - 1)
     lo_t = lo_t_ref[:]
     tt_t = ttf_t_ref[:]
+    a1_max = jnp.where(active, jnp.maximum(lo_t, tt_t), 0.0)
     acc_max = jnp.where(active, jnp.maximum(lo_t, tt_t), -_BIG)
     acc_min = jnp.where(active, jnp.minimum(lo_t, tt_t), _BIG)
     for g, K in ((g1, K1), (g2, K2)):
@@ -269,23 +270,41 @@ def _bounds_kernel(wb_ref, lidx_lo_ref, lev_lo_ref, lidx_hi_ref, lev_hi_ref,
             acc_max = jnp.maximum(acc_max, g[:Lp, sl])
             acc_min = jnp.minimum(acc_min, g[Lp:, sl])
 
-    up_max, dn_max = _vertical_shift_rows(acc_max, Lp, -_BIG, -_BIG)
-    up_min, dn_min = _vertical_shift_rows(acc_min, Lp, _BIG, _BIG)
-    wmax = jnp.maximum(jnp.maximum(up_max, acc_max), dn_max)
-    wmin = jnp.minimum(jnp.minimum(up_min, acc_min), dn_min)
     plain = (z == 0) | (z >= nlev - 2)
-    sel_max = jnp.where(plain, acc_max, wmax)
-    sel_min = jnp.where(plain, acc_min, wmin)
+    if vlimit == 1:
+        # 3-level window over the cluster bounds (src/reference.cpp:353-392)
+        up_max, dn_max = _vertical_shift_rows(acc_max, Lp, -_BIG, -_BIG)
+        up_min, dn_min = _vertical_shift_rows(acc_min, Lp, _BIG, _BIG)
+        wmax = jnp.maximum(jnp.maximum(up_max, acc_max), dn_max)
+        wmin = jnp.minimum(jnp.minimum(up_min, acc_min), dn_min)
+        sel_max = jnp.where(plain, acc_max, wmax)
+        sel_min = jnp.where(plain, acc_min, wmin)
+    else:
+        # vlimit 2/3: both vertical windows taken over a1's fct_ttf_max
+        # (docs/refactoring.md:113-148, faithful to Fortran lines 121/141),
+        # combined with the cluster bounds by widening (2) / narrowing (3)
+        up_m, dn_m = _vertical_shift_rows(a1_max, Lp, -_BIG, -_BIG)
+        wmax = jnp.maximum(jnp.maximum(up_m, a1_max), dn_m)
+        up_n, dn_n = _vertical_shift_rows(a1_max, Lp, _BIG, _BIG)
+        wmin = jnp.minimum(jnp.minimum(up_n, a1_max), dn_n)
+        if vlimit == 2:
+            cmax = jnp.maximum(acc_max, wmax)
+            cmin = jnp.minimum(acc_min, wmin)
+        else:
+            cmax = jnp.minimum(acc_max, wmax)
+            cmin = jnp.maximum(acc_min, wmin)
+        sel_max = jnp.where(plain, acc_max, cmax)
+        sel_min = jnp.where(plain, acc_min, cmin)
     out_ref[:Lp] = jnp.where(active, sel_max - lo_t, 0.0)
     out_ref[Lp:] = jnp.where(active, sel_min - lo_t, 0.0)
 
 
 def bounds_pallas(fct_LO_pad, ttf_pad, lidx_lo, lev_lo, lidx_hi, lev_hi,
                   wb2, nlev_nod_row, *, tile, nblocks_lo, nblocks_hi,
-                  K_lo, K_hi):
-    """fct_LO/ttf [Lp, Np] -> fct_ttf stacked [2Lp, Np] (a1+a2+a3,
-    vlimit=1).  Neighbors are split by side (ids below/above the node) so
-    each side's gather uses its own narrow window."""
+                  K_lo, K_hi, vlimit=1):
+    """fct_LO/ttf [Lp, Np] -> fct_ttf stacked [2Lp, Np] (a1+a2+a3, all
+    vlimit variants).  Neighbors are split by side (ids below/above the
+    node) so each side's gather uses its own narrow window."""
     Lp, Np = fct_LO_pad.shape
     T, C1, _ = lidx_lo.shape
     TN = tile
@@ -308,7 +327,7 @@ def bounds_pallas(fct_LO_pad, ttf_pad, lidx_lo, lev_lo, lidx_hi, lev_hi,
         out_specs=_tile_spec((2 * Lp, TN)),
     )
     kernel = functools.partial(_bounds_kernel, Lp=Lp, TN=TN, K1=K_lo,
-                               K2=K_hi, J1=J1, J2=J2)
+                               K2=K_hi, J1=J1, J2=J2, vlimit=vlimit)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -9,8 +9,8 @@ narrow/wide windows enabled by the canonical edge orientation
 
 All entity axes are padded to tile/window multiples (see plan.py); the level
 axis is padded to the f32 sublane multiple (8) at kernel boundaries.
-vlimit 2/3 fall back to a2_pallas + the XLA a3 (the reference only
-productionized vlimit 1: src/reference.cpp:297).
+All vlimit variants (1/2/3) run in-kernel (the reference only
+productionized vlimit 1 on GPU: src/reference.cpp:297).
 """
 
 from __future__ import annotations
@@ -24,7 +24,6 @@ import numpy as np
 
 from fesom2_accelerate_tpu.config import FctAleConfig
 from fesom2_accelerate_tpu.mesh.topology import Mesh
-from fesom2_accelerate_tpu.ops import stages
 from fesom2_accelerate_tpu.ops.meshdata import MeshData, build_mesh_data
 from fesom2_accelerate_tpu.ops.pallas import kernels
 from fesom2_accelerate_tpu.ops.pallas.plan import (
@@ -393,7 +392,6 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
     node array from their owners; applied to the limiter factors between
     K2 and K3 (the reference's MPI exchange_nod point, docs/
     refactoring.md:199-200) and to the updated fct_LO in iterative mode."""
-    md = pd.md
     L, Lp, Lpv = ps.L, ps.Lp, ps.Lpv
 
     ttf = state["ttf"]
@@ -402,27 +400,14 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
     adf_h_pad = state["fct_adf_h"]
 
     dt = float(cfg.dt)
-    if cfg.vlimit == 1:
-        # K1: a1 + fused a2+a3 (no UV array): neighbor max over incident
-        # edges with per-neighbor level bounds
-        tt = kernels.bounds_pallas(
-            fct_LO, ttf, pd.a3f_lidx_lo, pd.a3f_lev_lo, pd.a3f_lidx_hi,
-            pd.a3f_lev_hi, pd.a3f_wb, pd.nlev_nod_row, tile=ps.tile,
-            nblocks_lo=ps.a3f_lo_nblocks, nblocks_hi=ps.a3f_hi_nblocks,
-            K_lo=ps.K_lo, K_hi=ps.K_hi,
-        )
-    else:
-        tmax, tmin = stages.a1(md, fct_LO[:L], ttf[:L])
-        src = _stack2(tmax, tmin, Lp)
-        UV = kernels.a2_pallas(
-            src, pd.a2_lidx, pd.a2_wb, pd.nlev_elem_row,
-            tile=ps.tile, nblocks=ps.a2_nblocks, bignumber=cfg.bignumber,
-        )
-        UV_max, UV_min = UV[:L], UV[Lp:Lp + L]
-        tmax2, tmin2 = stages._a3_vlimit23(
-            md, UV_max, UV_min, tmax, fct_LO[:L], widen=(cfg.vlimit == 2)
-        )
-        tt = _stack2(tmax2, tmin2, Lp)
+    # K1: a1 + fused a2+a3 (no UV array): neighbor max over incident
+    # edges with per-neighbor level bounds; all vlimit variants in-kernel
+    tt = kernels.bounds_pallas(
+        fct_LO, ttf, pd.a3f_lidx_lo, pd.a3f_lev_lo, pd.a3f_lidx_hi,
+        pd.a3f_lev_hi, pd.a3f_wb, pd.nlev_nod_row, tile=ps.tile,
+        nblocks_lo=ps.a3f_lo_nblocks, nblocks_hi=ps.a3f_hi_nblocks,
+        K_lo=ps.K_lo, K_hi=ps.K_hi, vlimit=cfg.vlimit,
+    )
 
     # K2: b1 vertical + b1 horizontal scatter + b2
     pm = kernels.limit_pallas(

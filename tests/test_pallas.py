@@ -61,18 +61,23 @@ def test_pallas_step_matches_oracle(iter_yn, seed):
         assert err < 2e-5, f"{k}: relerr {err:.2e} (iter={iter_yn})"
 
 
-def test_pallas_step_vlimit23_fallback():
+@pytest.mark.parametrize("vlimit", [2, 3])
+def test_pallas_step_vlimit23(vlimit):
+    """vlimit 2/3 run fully in the fused bounds kernel (the reference GPU
+    path only implemented vlimit 1: src/reference.cpp:297)."""
     mesh = generate_planar_mesh(preset="tiny")
     pd, ps = build_pallas_data(mesh)
     fields = random_fields(mesh, seed=3, dtype=np.float32)
     s = {k: jnp.asarray(v, jnp.float32) for k, v in fields.items()}
-    cfg = FctAleConfig(dt=0.7, vlimit=2, dtype=jnp.float32, flux_eps=1e-7)
+    cfg = FctAleConfig(dt=0.7, vlimit=vlimit, dtype=jnp.float32,
+                       flux_eps=1e-7)
     with pltpu.force_tpu_interpret_mode():
         out = fct_ale_step_pallas(pd, ps, cfg, s)
     ref = oracle.fct_ale_step(
         mesh, {k: v.astype(np.float64) for k, v in fields.items()},
-        vlimit=2, dt=0.7, flux_eps=1e-7,
+        vlimit=vlimit, dt=0.7, flux_eps=1e-7,
     )
-    for k in ("fct_ttf_max", "fct_adf_h", "del_ttf_advhoriz"):
+    for k in ("fct_ttf_max", "fct_ttf_min", "fct_plus", "fct_minus",
+              "fct_adf_h", "del_ttf_advvert", "del_ttf_advhoriz"):
         err = _relerr(out[k], ref[k])
-        assert err < 2e-5, f"{k}: relerr {err:.2e}"
+        assert err < 2e-5, f"{k}: relerr {err:.2e} (vlimit={vlimit})"
