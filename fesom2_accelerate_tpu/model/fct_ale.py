@@ -125,7 +125,9 @@ class FctAleSolver:
     f32-only — the TPU performance path, ops/pallas/)."""
 
     def __init__(self, mesh: Mesh, cfg: FctAleConfig = FctAleConfig(),
-                 backend: str = "xla"):
+                 backend: str = "xla", tile: "int | None" = None,
+                 chunk: "int | None" = None,
+                 scatter_chunk: "int | None" = None):
         self.mesh = mesh
         self.cfg = cfg
         self.backend = backend
@@ -138,7 +140,8 @@ class FctAleSolver:
             from fesom2_accelerate_tpu.ops.pallas import step as pstep
 
             assert cfg.dtype == jnp.float32, "pallas backend is f32-only"
-            self.pd, self.ps = pstep.build_pallas_data(mesh)
+            self.pd, self.ps = pstep.build_pallas_data(
+                mesh, tile=tile, chunk=chunk, scatter_chunk=scatter_chunk)
             self.md = self.pd.md
             self._mesh_arg = self.pd
             ps, c = self.ps, self.cfg

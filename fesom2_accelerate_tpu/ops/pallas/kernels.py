@@ -103,14 +103,14 @@ def _split3(x):
     return (hi, mid, lo)
 
 
-def _gather_segments(slab, neutral=None):
+def _gather_segments(slab, neutral=None, chunk=_CHUNK):
     """Split a window slab [R, W] into chunk segments with base offsets.
 
     Returns a list of (segment, base).  neutral=(top, bottom, Lp) appends a
     BLOCK-wide column block at base W holding the reduction-neutral values
     (rows < Lp: top; else bottom) selected by the sentinel index."""
     W = slab.shape[1]
-    chunk = min(W, _CHUNK)
+    chunk = min(W, chunk)
     segs = []
     for c0 in range(0, W, chunk):
         cw = min(chunk, W - c0)
@@ -123,11 +123,11 @@ def _gather_segments(slab, neutral=None):
     return segs
 
 
-def _gather_dot(slab, lidx_col, C, neutral=None):
+def _gather_dot(slab, lidx_col, C, neutral=None, chunk=_CHUNK):
     """Gather columns from a window slab: one one-hot per chunk, three exact
     bf16-split contractions per chunk -> [R, C]."""
     acc = None
-    for seg, base in _gather_segments(slab, neutral):
+    for seg, base in _gather_segments(slab, neutral, chunk):
         ch = seg.shape[1]
         ohT = ((_col_iota((C, ch)) + base) == lidx_col).astype(jnp.float32)
         for part in _split3(seg):
@@ -139,7 +139,11 @@ def _gather_dot(slab, lidx_col, C, neutral=None):
     return acc
 
 
-def _scatter_dot(adf, ids, nw, t0, TN, Lp, split_pm: bool):
+_SCATTER_CHUNK = 512
+
+
+def _scatter_dot(adf, ids, nw, t0, TN, Lp, split_pm: bool,
+                 chunk=_SCATTER_CHUNK):
     """Scatter window flux columns into TN targets -> [R, TN].
 
     adf [Lp, W]; ids [W, 1] global target ids (-1 pad); nw [1, W] active
@@ -147,7 +151,7 @@ def _scatter_dot(adf, ids, nw, t0, TN, Lp, split_pm: bool):
     (R = 2*Lp, for b1h's plus/minus split); False contracts F directly
     (R = Lp, for stage c's signed sum)."""
     W = adf.shape[1]
-    chunk = min(W, 512)
+    chunk = min(W, chunk)
     acc = None
     for c0 in range(0, W, chunk):
         cw = min(chunk, W - c0)
@@ -219,7 +223,8 @@ def _vertical_shift_rows(arr, Lp, up_fill, dn_fill):
 # --------------------------------------------------------------------------
 
 
-def _gather_bounded(lo_refs, ttf_refs, lidx_ref, lev_ref, C, Lp):
+def _gather_bounded(lo_refs, ttf_refs, lidx_ref, lev_ref, C, Lp,
+                    chunk=_CHUNK):
     """Gather level-bounded a1 max/min at C neighbor slots -> [2Lp, C].
 
     a1 runs on the window in-kernel (no masking needed: values beyond a
@@ -232,7 +237,7 @@ def _gather_bounded(lo_refs, ttf_refs, lidx_ref, lev_ref, C, Lp):
     slab = jnp.concatenate(
         [jnp.maximum(lo_w, tt_w), jnp.minimum(lo_w, tt_w)], axis=0
     )
-    g = _gather_dot(slab, _lcol(lidx_ref), C)
+    g = _gather_dot(slab, _lcol(lidx_ref), C, chunk=chunk)
     lev = _lcol(lev_ref)  # [C, 1]
     ohL = (_col_iota((C, Lp)) == lev).astype(jnp.float32)  # [C, Lp]
     zstep = (_row_iota((Lp, Lp)) >= _col_iota((Lp, Lp))).astype(jnp.float32)
@@ -245,7 +250,7 @@ def _gather_bounded(lo_refs, ttf_refs, lidx_ref, lev_ref, C, Lp):
 
 def _bounds_kernel(wb_ref, lidx_lo_ref, lev_lo_ref, lidx_hi_ref, lev_hi_ref,
                    nlev_ref, lo_t_ref, ttf_t_ref, *refs,
-                   Lp, TN, K1, K2, J1, J2, vlimit):
+                   Lp, TN, K1, K2, J1, J2, vlimit, chunk):
     o = 0
     LO_lo = refs[o:o + J1]; o += J1
     TT_lo = refs[o:o + J1]; o += J1
@@ -253,15 +258,16 @@ def _bounds_kernel(wb_ref, lidx_lo_ref, lev_lo_ref, lidx_hi_ref, lev_hi_ref,
     TT_hi = refs[o:o + J2]; o += J2
     out_ref = refs[o]
 
-    g1 = _gather_bounded(LO_lo, TT_lo, lidx_lo_ref, lev_lo_ref, K1 * TN, Lp)
-    g2 = _gather_bounded(LO_hi, TT_hi, lidx_hi_ref, lev_hi_ref, K2 * TN, Lp)
+    g1 = _gather_bounded(LO_lo, TT_lo, lidx_lo_ref, lev_lo_ref, K1 * TN, Lp,
+                         chunk)
+    g2 = _gather_bounded(LO_hi, TT_hi, lidx_hi_ref, lev_hi_ref, K2 * TN, Lp,
+                         chunk)
 
     z = _row_iota((Lp, TN))
     nlev = nlev_ref[:]
     active = z < (nlev - 1)
     lo_t = lo_t_ref[:]
     tt_t = ttf_t_ref[:]
-    a1_max = jnp.where(active, jnp.maximum(lo_t, tt_t), 0.0)
     acc_max = jnp.where(active, jnp.maximum(lo_t, tt_t), -_BIG)
     acc_min = jnp.where(active, jnp.minimum(lo_t, tt_t), _BIG)
     for g, K in ((g1, K1), (g2, K2)):
@@ -283,6 +289,7 @@ def _bounds_kernel(wb_ref, lidx_lo_ref, lev_lo_ref, lidx_hi_ref, lev_hi_ref,
         # vlimit 2/3: both vertical windows taken over a1's fct_ttf_max
         # (docs/refactoring.md:113-148, faithful to Fortran lines 121/141),
         # combined with the cluster bounds by widening (2) / narrowing (3)
+        a1_max = jnp.where(active, jnp.maximum(lo_t, tt_t), 0.0)
         up_m, dn_m = _vertical_shift_rows(a1_max, Lp, -_BIG, -_BIG)
         wmax = jnp.maximum(jnp.maximum(up_m, a1_max), dn_m)
         up_n, dn_n = _vertical_shift_rows(a1_max, Lp, _BIG, _BIG)
@@ -301,7 +308,7 @@ def _bounds_kernel(wb_ref, lidx_lo_ref, lev_lo_ref, lidx_hi_ref, lev_hi_ref,
 
 def bounds_pallas(fct_LO_pad, ttf_pad, lidx_lo, lev_lo, lidx_hi, lev_hi,
                   wb2, nlev_nod_row, *, tile, nblocks_lo, nblocks_hi,
-                  K_lo, K_hi, vlimit=1):
+                  K_lo, K_hi, vlimit=1, chunk=_CHUNK):
     """fct_LO/ttf [Lp, Np] -> fct_ttf stacked [2Lp, Np] (a1+a2+a3, all
     vlimit variants).  Neighbors are split by side (ids below/above the
     node) so each side's gather uses its own narrow window."""
@@ -327,9 +334,11 @@ def bounds_pallas(fct_LO_pad, ttf_pad, lidx_lo, lev_lo, lidx_hi, lev_hi,
         out_specs=_tile_spec((2 * Lp, TN)),
     )
     kernel = functools.partial(_bounds_kernel, Lp=Lp, TN=TN, K1=K_lo,
-                               K2=K_hi, J1=J1, J2=J2, vlimit=vlimit)
+                               K2=K_hi, J1=J1, J2=J2, vlimit=vlimit,
+                               chunk=chunk)
     return pl.pallas_call(
         kernel,
+        name="fct_bounds",
         grid_spec=grid_spec,
         compiler_params=_COMPILER_PARAMS,
         out_shape=jax.ShapeDtypeStruct((2 * Lp, Np), jnp.float32),
@@ -341,14 +350,20 @@ def bounds_pallas(fct_LO_pad, ttf_pad, lidx_lo, lev_lo, lidx_hi, lev_hi,
 # --------------------------------------------------------------------------
 # K2 limit: b1-vertical (kernels/fct_ale_b1_vertical.cu) + b1-horizontal
 # scatter (kernels/fct_ale_b1_horizontal.cu:24-27, the atomicAdd hot spot)
-# + b2 Zalesak factors (kernels/fct_ale_b2.cu:10-11), fused per node tile.
+# + b2 Zalesak factors (kernels/fct_ale_b2.cu:10-11) + b3-vertical
+# (kernels/fct_ale_b3_vertical.cu), fused per node tile.
+# b3-vertical belongs here, NOT after the halo exchange: it is node-local
+# and owned-node limiter factors are already final pre-exchange — the same
+# reason the reference overlaps it with the MPI wait in its inter_comm
+# phase (src/fesom2-accelerate.cu:342-356).  Fusing it into K2 goes one
+# step further: its pm/adf_v inputs never round-trip HBM at all.
 # The scatter runs as TWO window groups: edges starting in the tile
 # (contiguous, narrow) and edges ending in it (bandwidth-wide).
 # --------------------------------------------------------------------------
 
 
 def _limit_kernel(wb_ref, av_ref, tt_ref, ainv_ref, nlev_ref, *refs,
-                  Lp, Lpv, L, TN, J1, J2, dt, eps):
+                  Lp, Lpv, L, TN, J1, J2, dt, eps, iter_yn, chunk):
     o = 0
     adf_lo = _concat(refs[o:o + J1]); o += J1
     adf_hi = _concat(refs[o:o + J2]); o += J2
@@ -356,7 +371,7 @@ def _limit_kernel(wb_ref, av_ref, tt_ref, ainv_ref, nlev_ref, *refs,
     e_ids = _concat_col(refs[o:o + J2]); o += J2
     nw_lo = _concat(refs[o:o + J1]); o += J1
     nw_hi = _concat(refs[o:o + J2]); o += J2
-    out_ref = refs[o]
+    out_ref, av_out_ref, av2_ref = refs[o:o + 3]
 
     # b1 vertical: flux splitting from the interface-flux tile
     av = av_ref[:]
@@ -372,8 +387,10 @@ def _limit_kernel(wb_ref, av_ref, tt_ref, ainv_ref, nlev_ref, *refs,
 
     # b1 horizontal: edge->node scatter, one group per endpoint role
     t0 = pl.program_id(0) * TN
-    G_lo = _scatter_dot(adf_lo, s_ids, nw_lo, t0, TN, Lp, split_pm=True)
-    G_hi = _scatter_dot(adf_hi, e_ids, nw_hi, t0, TN, Lp, split_pm=True)
+    G_lo = _scatter_dot(adf_lo, s_ids, nw_lo, t0, TN, Lp, split_pm=True,
+                        chunk=chunk)
+    G_hi = _scatter_dot(adf_hi, e_ids, nw_hi, t0, TN, Lp, split_pm=True,
+                        chunk=chunk)
     plus = plus + G_lo[:Lp] + G_hi[Lp:]
     minus = minus - G_lo[Lp:] - G_hi[:Lp]
 
@@ -385,14 +402,41 @@ def _limit_kernel(wb_ref, av_ref, tt_ref, ainv_ref, nlev_ref, *refs,
     ainv = ainv_ref[:]
     fplus = plus * dt * ainv + eps
     fminus = minus * dt * ainv - eps
-    out_ref[:Lp] = jnp.where(active, jnp.minimum(1.0, tt[:Lp] / fplus), 0.0)
-    out_ref[Lp:] = jnp.where(active, jnp.minimum(1.0, tt[Lp:] / fminus), 0.0)
+    fp = jnp.where(active, jnp.minimum(1.0, tt[:Lp] / fplus), 0.0)
+    fm = jnp.where(active, jnp.minimum(1.0, tt[Lp:] / fminus), 0.0)
+    out_ref[:Lp] = fp
+    out_ref[Lp:] = fm
+
+    # b3 vertical on the tile (limiter factors at z and z-1 of the SAME
+    # node — no exchanged halo values enter, reference kernels/
+    # fct_ale_b3_vertical.cu:17-45)
+    fp_m1, _ = _vertical_shift_rows(fp, Lp, 1.0, 0.0)
+    fm_m1, _ = _vertical_shift_rows(fm, Lp, 1.0, 0.0)
+    flux = up
+    ae_pos = jnp.minimum(1.0, jnp.minimum(fm_m1, fp))
+    ae_neg = jnp.minimum(1.0, jnp.minimum(fp_m1, fm))
+    ae = jnp.where(flux >= 0.0, ae_pos, ae_neg)
+    vact = (z < nlev) & (z < L)
+    av_lim = jnp.where(vact, ae * flux, flux)
+    if Lpv > Lp:
+        av_out = jnp.concatenate([av_lim, av[Lp:]], axis=0)
+    else:
+        av_out = av_lim
+    av_out_ref[:] = av_out
+    resid = jnp.where(vact & (z >= 1), (1.0 - ae) * flux, 0.0)
+    if Lpv > Lp:
+        resid = jnp.concatenate(
+            [resid, jnp.zeros((Lpv - Lp, TN), jnp.float32)], axis=0
+        )
+    av2_ref[:] = resid if iter_yn else jnp.zeros_like(resid)
 
 
 def limit_pallas(adf_v_pad, tt_stacked, area_inv_pad, adf_h_pad, starts_col,
                  ends_col, nlev_edge_row, wb2, nlev_nod_row, *, tile,
-                 nblocks_lo, nblocks_hi, L, dt, flux_eps):
-    """-> limiter factors stacked [2Lp, Np] (b1v + b1h + b2)."""
+                 nblocks_lo, nblocks_hi, L, dt, flux_eps, iter_yn=False,
+                 chunk=_SCATTER_CHUNK):
+    """-> (limiter factors stacked [2Lp, Np], limited adf_v [Lpv, Np],
+    adf_v residual [Lpv, Np]): b1v + b1h + b2 + b3v fused."""
     Lp2, Np = tt_stacked.shape
     Lp = Lp2 // 2
     Lpv = adf_v_pad.shape[0]
@@ -414,15 +458,25 @@ def limit_pallas(adf_v_pad, tt_stacked, area_inv_pad, adf_h_pad, starts_col,
             *_win_specs(1, J1, 0),
             *_win_specs(1, J2, 1),
         ],
-        out_specs=_tile_spec((Lp2, TN)),
+        out_specs=(
+            _tile_spec((Lp2, TN)),
+            _tile_spec((Lpv, TN)),
+            _tile_spec((Lpv, TN)),
+        ),
     )
     kernel = functools.partial(_limit_kernel, Lp=Lp, Lpv=Lpv, L=L, TN=TN,
-                               J1=J1, J2=J2, dt=dt, eps=flux_eps)
+                               J1=J1, J2=J2, dt=dt, eps=flux_eps,
+                               iter_yn=iter_yn, chunk=chunk)
     return pl.pallas_call(
         kernel,
+        name="fct_limit",
         grid_spec=grid_spec,
         compiler_params=_COMPILER_PARAMS,
-        out_shape=jax.ShapeDtypeStruct((Lp2, Np), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((Lp2, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Lpv, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Lpv, Np), jnp.float32),
+        ),
     )(wb2, adf_v_pad, tt_stacked, area_inv_pad, nlev_nod_row,
       *([adf_h_pad] * J1), *([adf_h_pad] * J2),
       *([starts_col] * J1), *([ends_col] * J2),
@@ -436,13 +490,12 @@ def limit_pallas(adf_v_pad, tt_stacked, area_inv_pad, adf_h_pad, starts_col,
 # --------------------------------------------------------------------------
 
 
-def _b3h_kernel(wb_ref, lidx_lo_ref, lidx_hi_ref, nlev_ref, adf_ref, *refs,
-                Lp, TE, J1, J2):
-    pm_lo = _concat(refs[:J1])
-    pm_hi = _concat(refs[J1:J1 + J2])
-    out_ref, resid_ref = refs[J1 + J2], refs[J1 + J2 + 1]
-    g1 = _gather_dot(pm_lo, _lcol(lidx_lo_ref), TE)  # [2Lp, TE] = (p1; m1)
-    g2 = _gather_dot(pm_hi, _lcol(lidx_hi_ref), TE)
+def _b3h_compute(lidx_lo_ref, lidx_hi_ref, nlev_ref, adf_ref, pm_lo_refs,
+                 pm_hi_refs, out_ref, resid_ref, Lp, TE, chunk):
+    pm_lo = _concat(pm_lo_refs)
+    pm_hi = _concat(pm_hi_refs)
+    g1 = _gather_dot(pm_lo, _lcol(lidx_lo_ref), TE, chunk=chunk)  # (p1; m1)
+    g2 = _gather_dot(pm_hi, _lcol(lidx_hi_ref), TE, chunk=chunk)
     p1, m1 = g1[:Lp], g1[Lp:]
     p2, m2 = g2[:Lp], g2[Lp:]
     F = adf_ref[:]
@@ -454,8 +507,15 @@ def _b3h_kernel(wb_ref, lidx_lo_ref, lidx_hi_ref, nlev_ref, adf_ref, *refs,
     resid_ref[:] = jnp.where(emask, (1.0 - ae) * F, 0.0)
 
 
+def _b3h_kernel(wb_ref, lidx_lo_ref, lidx_hi_ref, nlev_ref, adf_ref, *refs,
+                Lp, TE, J1, J2, chunk):
+    _b3h_compute(lidx_lo_ref, lidx_hi_ref, nlev_ref, adf_ref, refs[:J1],
+                 refs[J1:J1 + J2], refs[J1 + J2], refs[J1 + J2 + 1], Lp, TE,
+                 chunk)
+
+
 def b3h_pallas(pm_stacked, adf_h_pad, lidx_lo, lidx_hi, wb2, nlev_edge_row,
-               *, tile, nblocks_lo, nblocks_hi):
+               *, tile, nblocks_lo, nblocks_hi, chunk=_CHUNK):
     """Returns (limited adf_h [Lp, Edp], residual (1-ae)*f [Lp, Edp])."""
     Lp2, Np = pm_stacked.shape
     Lp = Lp2 // 2
@@ -480,9 +540,11 @@ def b3h_pallas(pm_stacked, adf_h_pad, lidx_lo, lidx_hi, wb2, nlev_edge_row,
             _tile_spec((Lp, TE)),
         ),
     )
-    kernel = functools.partial(_b3h_kernel, Lp=Lp, TE=TE, J1=J1, J2=J2)
+    kernel = functools.partial(_b3h_kernel, Lp=Lp, TE=TE, J1=J1, J2=J2,
+                               chunk=chunk)
     return pl.pallas_call(
         kernel,
+        name="fct_b3h",
         grid_spec=grid_spec,
         compiler_params=_COMPILER_PARAMS,
         out_shape=(
@@ -493,20 +555,91 @@ def b3h_pallas(pm_stacked, adf_h_pad, lidx_lo, lidx_hi, wb2, nlev_edge_row,
       *([pm_stacked] * J1), *([pm_stacked] * J2))
 
 
+def _b3h_fix_kernel(wb_ref, ids_ref, lidx_lo_ref, lidx_hi_ref, nlev_ref,
+                    adf_ref, *refs, Lp, TE, J1, J2, chunk):
+    del ids_ref  # selection happens in the index maps
+    # trailing refs: J1+J2 pm windows, 2 aliased previous outputs (unread),
+    # 2 outputs
+    _b3h_compute(lidx_lo_ref, lidx_hi_ref, nlev_ref, adf_ref, refs[:J1],
+                 refs[J1:J1 + J2], refs[J1 + J2 + 2], refs[J1 + J2 + 3],
+                 Lp, TE, chunk)
+
+
+def b3h_fixup_pallas(pm_stacked, adf_h_pad, out_prev, resid_prev, lidx_lo,
+                     lidx_hi, wb2, tile_ids, nlev_edge_row, *, tile,
+                     nblocks_lo, nblocks_hi, chunk=_CHUNK):
+    """Recompute b3h on the BOUNDARY edge tiles only, in place.
+
+    ``tile_ids`` [F] selects which edge tiles to redo with the EXCHANGED
+    limiter factors; all other tiles keep their interior results (the
+    outputs alias ``out_prev``/``resid_prev``).  This is the TPU analogue
+    of the reference's post_comm phase touching only halo-dependent work
+    (src/fesom2-accelerate.cu:358-379): b3h for interior edges ran on
+    pre-exchange factors, concurrently with the collective."""
+    Lp2, Np = pm_stacked.shape
+    Lp = Lp2 // 2
+    TE = tile
+    T, C, _ = lidx_lo.shape
+    assert C == TE
+    F = tile_ids.shape[0]
+    J1, J2 = nblocks_lo, nblocks_hi
+
+    def _win_ids(rows, J, col):
+        return [pl.BlockSpec(
+            (rows, BLOCK), lambda i, wb, ids, j=j, c=col: (0, wb[ids[i], c] + j)
+        ) for j in range(J)]
+
+    def _tile_ids(shape):
+        return pl.BlockSpec(shape, lambda i, wb, ids: (0, ids[i]))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(F,),
+        in_specs=[
+            pl.BlockSpec((1, C, 1), lambda i, wb, ids: (ids[i], 0, 0)),
+            pl.BlockSpec((1, C, 1), lambda i, wb, ids: (ids[i], 0, 0)),
+            _tile_ids((1, TE)),
+            _tile_ids((Lp, TE)),
+            *_win_ids(Lp2, J1, 0),
+            *_win_ids(Lp2, J2, 1),
+            _tile_ids((Lp, TE)),
+            _tile_ids((Lp, TE)),
+        ],
+        out_specs=(
+            _tile_ids((Lp, TE)),
+            _tile_ids((Lp, TE)),
+        ),
+    )
+    kernel = functools.partial(_b3h_fix_kernel, Lp=Lp, TE=TE, J1=J1, J2=J2,
+                               chunk=chunk)
+    n_in = 2 + 4 + J1 + J2  # scalar prefetch + fixed + windows
+    return pl.pallas_call(
+        kernel,
+        name="fct_b3h_fixup",
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        out_shape=(
+            jax.ShapeDtypeStruct(out_prev.shape, jnp.float32),
+            jax.ShapeDtypeStruct(resid_prev.shape, jnp.float32),
+        ),
+        input_output_aliases={n_in: 0, n_in + 1: 1},
+    )(wb2, tile_ids, lidx_lo, lidx_hi, nlev_edge_row, adf_h_pad,
+      *([pm_stacked] * J1), *([pm_stacked] * J2), out_prev, resid_prev)
+
+
 # --------------------------------------------------------------------------
-# K4 update: b3-vertical (kernels/fct_ale_b3_vertical.cu / docs/
-# refactoring.md:204-233) + the c-horizontal signed edge sum (kernels/
+# K4 update: the c-horizontal signed edge sum (kernels/
 # fct_ale_c_horizontal.cu:25-26) + the stage-c solution / iterative-LO
-# update (docs/refactoring.md:265-314), fused per node tile.
-# Outputs: (adf_v_limited [Lpv], adf_v_residual [Lpv], o1 [Lp], o2 [Lp])
-# where (o1, o2) = (del_ttf_advvert, del_ttf_advhoriz) non-iterative or
-# (new fct_LO, zeros) iterative; adf_v_residual is zeros non-iterative.
+# update (docs/refactoring.md:265-314), fused per node tile.  b3-vertical
+# lives in K2 (it needs no exchanged data); K4 consumes its limited
+# vertical flux.  Outputs: (o1, o2) = (del_ttf_advvert, del_ttf_advhoriz)
+# non-iterative or (new fct_LO, zeros) iterative.
 # --------------------------------------------------------------------------
 
 
-def _update_kernel(wb_ref, pm_ref, av_ref, ttf_ref, hn_ref, hnn_ref,
+def _update_kernel(wb_ref, avl_ref, ttf_ref, hn_ref, hnn_ref,
                    lo_ref, dvin_ref, dhin_ref, ainv_ref, nlev_ref, *refs,
-                   Lp, Lpv, L, TN, J1, J2, dt, iter_yn):
+                   Lp, Lpv, L, TN, J1, J2, dt, iter_yn, chunk):
     o = 0
     adf_lo = _concat(refs[o:o + J1]); o += J1
     adf_hi = _concat(refs[o:o + J2]); o += J2
@@ -514,41 +647,18 @@ def _update_kernel(wb_ref, pm_ref, av_ref, ttf_ref, hn_ref, hnn_ref,
     e_ids = _concat_col(refs[o:o + J2]); o += J2
     nw_lo = _concat(refs[o:o + J1]); o += J1
     nw_hi = _concat(refs[o:o + J2]); o += J2
-    av_out_ref, av2_ref, o1_ref, o2_ref = refs[o:o + 4]
+    o1_ref, o2_ref = refs[o:o + 2]
 
     # c horizontal: signed incident-edge flux sum (+ at n0, - at n1)
     t0 = pl.program_id(0) * TN
-    acc = _scatter_dot(adf_lo, s_ids, nw_lo, t0, TN, Lp, split_pm=False)
+    acc = _scatter_dot(adf_lo, s_ids, nw_lo, t0, TN, Lp, split_pm=False,
+                       chunk=chunk)
     acc = acc - _scatter_dot(adf_hi, e_ids, nw_hi, t0, TN, Lp,
-                             split_pm=False)
+                             split_pm=False, chunk=chunk)
 
-    # b3 vertical on the tile
-    pm = pm_ref[:]
-    plus, minus = pm[:Lp], pm[Lp:]
-    plus_m1, _ = _vertical_shift_rows(plus, Lp, 1.0, 0.0)
-    minus_m1, _ = _vertical_shift_rows(minus, Lp, 1.0, 0.0)
-    av = av_ref[:]
-    flux = av[:Lp]
-    ae_pos = jnp.minimum(1.0, jnp.minimum(minus_m1, plus))
-    ae_neg = jnp.minimum(1.0, jnp.minimum(plus_m1, minus))
-    ae = jnp.where(flux >= 0.0, ae_pos, ae_neg)
-    z = _row_iota((Lp, TN))
-    nlev = nlev_ref[:]
-    vact = (z < nlev) & (z < L)
-    av_lim = jnp.where(vact, ae * flux, flux)
-    if Lpv > Lp:
-        av_out = jnp.concatenate([av_lim, av[Lp:]], axis=0)
-    else:
-        av_out = av_lim
-    av_out_ref[:] = av_out
-    resid = jnp.where(vact & (z >= 1), (1.0 - ae) * flux, 0.0)
-    if Lpv > Lp:
-        resid = jnp.concatenate(
-            [resid, jnp.zeros((Lpv - Lp, TN), jnp.float32)], axis=0
-        )
-    av2_ref[:] = resid if iter_yn else jnp.zeros_like(resid)
-
-    # vertical divergence of the limited flux
+    # vertical divergence of the limited flux (from K2's b3v)
+    av_out = avl_ref[:]
+    av_lim = av_out[:Lp]
     if Lpv >= Lp + 1:
         dn_lim = av_out[1:Lp + 1]
     else:
@@ -559,6 +669,8 @@ def _update_kernel(wb_ref, pm_ref, av_ref, ttf_ref, hn_ref, hnn_ref,
     ainv = ainv_ref[:]
     ddiv = (av_lim - dn_lim) * dt * ainv
     dh = acc * dt * ainv
+    z = _row_iota((Lp, TN))
+    nlev = nlev_ref[:]
     active = z < (nlev - 1)
     lo = lo_ref[:]
     if iter_yn:
@@ -573,15 +685,14 @@ def _update_kernel(wb_ref, pm_ref, av_ref, ttf_ref, hn_ref, hnn_ref,
         o2_ref[:] = dhin_ref[:] + dh
 
 
-def update_pallas(pm_stacked, adf_v_pad, ttf_pad, hnode_pad, hnode_new_pad,
+def update_pallas(adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad,
                   fct_LO_pad, del_v_pad, del_h_pad, area_inv_pad,
                   adf_h_lim_pad, starts_col, ends_col, nlev_edge_row, wb2,
                   nlev_nod_row, *, tile, nblocks_lo, nblocks_hi, L, dt,
-                  iter_yn):
-    """b3v + c fused -> (adf_v_limited, adf_v_resid, o1, o2); see kernel."""
-    Lp2, Np = pm_stacked.shape
-    Lp = Lp2 // 2
-    Lpv = adf_v_pad.shape[0]
+                  iter_yn, chunk=_SCATTER_CHUNK):
+    """Stage c fused -> (o1, o2); see kernel."""
+    Lpv, Np = adf_v_lim_pad.shape
+    Lp = area_inv_pad.shape[0]
     TN = tile
     T = Np // TN
     J1, J2 = nblocks_lo, nblocks_hi
@@ -589,7 +700,6 @@ def update_pallas(pm_stacked, adf_v_pad, ttf_pad, hnode_pad, hnode_new_pad,
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
-            _tile_spec((Lp2, TN)),
             _tile_spec((Lpv, TN)),
             _tile_spec((Lp, TN)),
             _tile_spec((Lp, TN)),
@@ -607,25 +717,23 @@ def update_pallas(pm_stacked, adf_v_pad, ttf_pad, hnode_pad, hnode_new_pad,
             *_win_specs(1, J2, 1),
         ],
         out_specs=(
-            _tile_spec((Lpv, TN)),
-            _tile_spec((Lpv, TN)),
             _tile_spec((Lp, TN)),
             _tile_spec((Lp, TN)),
         ),
     )
     kernel = functools.partial(_update_kernel, Lp=Lp, Lpv=Lpv, L=L, TN=TN,
-                               J1=J1, J2=J2, dt=dt, iter_yn=iter_yn)
+                               J1=J1, J2=J2, dt=dt, iter_yn=iter_yn,
+                               chunk=chunk)
     return pl.pallas_call(
         kernel,
+        name="fct_update",
         grid_spec=grid_spec,
         compiler_params=_COMPILER_PARAMS,
         out_shape=(
-            jax.ShapeDtypeStruct((Lpv, Np), jnp.float32),
-            jax.ShapeDtypeStruct((Lpv, Np), jnp.float32),
             jax.ShapeDtypeStruct((Lp, Np), jnp.float32),
             jax.ShapeDtypeStruct((Lp, Np), jnp.float32),
         ),
-    )(wb2, pm_stacked, adf_v_pad, ttf_pad, hnode_pad, hnode_new_pad,
+    )(wb2, adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad,
       fct_LO_pad, del_v_pad, del_h_pad, area_inv_pad, nlev_nod_row,
       *([adf_h_lim_pad] * J1), *([adf_h_lim_pad] * J2),
       *([starts_col] * J1), *([ends_col] * J2),
@@ -675,6 +783,7 @@ def a2_pallas(src_stacked, lidx, wb2, nlev_elem_row, *, tile, nblocks,
                                big=bignumber)
     return pl.pallas_call(
         kernel,
+        name="fct_a2",
         grid_spec=grid_spec,
         compiler_params=_COMPILER_PARAMS,
         out_shape=jax.ShapeDtypeStruct((Lp2, Ep), jnp.float32),
@@ -751,6 +860,7 @@ def stress2rhs_pallas(elem_packed, ids0, ids1, ids2, inv_areamass_row,
     kernel = functools.partial(_s2r_kernel, TN=TN, J=J)
     return pl.pallas_call(
         kernel,
+        name="stress2rhs",
         grid_spec=grid_spec,
         compiler_params=_COMPILER_PARAMS,
         out_shape=jax.ShapeDtypeStruct((8, Np), jnp.float32),

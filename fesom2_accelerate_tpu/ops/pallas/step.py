@@ -1,11 +1,21 @@
 """Full FCT-ALE step as FOUR fused Pallas kernels (vlimit=1).
 
-K1 bounds (a1+a2+a3) -> K2 limit (b1v+b1h+b2) -> K3 b3h -> K4 update
-(b3v + stage c).  Every elementwise stage runs inside the neighboring
+K1 bounds (a1+a2+a3) -> K2 limit (b1v+b1h+b2+b3v) -> K3 b3h -> K4 update
+(stage c).  Every elementwise stage runs inside the neighboring
 gather/scatter kernel on the same tiles (kernels.py), so the only XLA work
 left is input padding/unpadding.  Scatters and endpoint gathers use split
 narrow/wide windows enabled by the canonical edge orientation
 (mesh/topology.py).
+
+b3-vertical is fused into K2 (before the halo-exchange point): it is
+node-local and owned-node limiter factors are final pre-exchange — the
+reference runs it concurrently with the MPI wait for the same reason
+(src/fesom2-accelerate.cu:342-356).  In sharded runs K3 also runs on the
+PRE-exchange factors (interior edges need no halo values) and only the
+boundary edge tiles are recomputed after the collective
+(kernels.b3h_fixup_pallas) — so the exchange overlaps the full b3h interior
+sweep, the reference's inter_comm overlap generalized to the biggest
+post-b2 kernel.
 
 All entity axes are padded to tile/window multiples (see plan.py); the level
 axis is padded to the f32 sublane multiple (8) at kernel boundaries.
@@ -104,6 +114,10 @@ class PallasData:
     a2_wb: jax.Array  # [T_e2, 2] (col 0 used)
     nlev_elem_row: jax.Array  # [1, Ep]
 
+    # boundary edge tiles for the post-exchange b3h fixup (sharded runs);
+    # [max(n_fix_tiles, 1)] int32, padded by repeating a boundary tile
+    b3h_fix_ids: jax.Array
+
 
 @dataclasses.dataclass(frozen=True)
 class PallasStatic:
@@ -128,6 +142,12 @@ class PallasStatic:
     b3h_lo_nblocks: int
     b3h_hi_nblocks: int
     a2_nblocks: int
+    # number of boundary edge tiles to recompute after the halo exchange
+    # (0 = unsharded: K3 consumes the exchanged factors directly)
+    n_fix_tiles: int = 0
+    # one-hot contraction chunk widths (gathers / scatters)
+    chunk: int = 1024
+    scatter_chunk: int = 512
 
 
 def _pad_mesh(mesh: Mesh, Np: int, Ep: int, Edp: int) -> Mesh:
@@ -161,13 +181,34 @@ def _pad_mesh(mesh: Mesh, Np: int, Ep: int, Edp: int) -> Mesh:
     )
 
 
-def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None):
+def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
+                      tile: "int | None" = None,
+                      chunk: "int | None" = None,
+                      scatter_chunk: "int | None" = None,
+                      halo_mask: "np.ndarray | None" = None):
     """Returns (PallasData, PallasStatic).
 
     ``common``: force this static layout (padded sizes / window block
     counts) instead of deriving it from the mesh — used by the sharded
     solver so every part compiles to the SAME program.  The mesh's own
-    requirements must not exceed it."""
+    requirements must not exceed it.
+
+    ``tile`` / ``chunk`` / ``scatter_chunk``: kernel launch configuration
+    (defaults: module TILE / kernels chunk defaults) — the sweep axes of
+    the tuner (utils/tuning.py), replacing the reference's per-kernel
+    block/tiling spaces (kernels/fct_ale_a1.py:67-73).
+
+    ``halo_mask`` [n_nodes] bool: marks halo node columns (sharded runs).
+    Edge tiles touching a halo node become the post-exchange b3h fixup
+    set; all other edge tiles run before/during the exchange."""
+    if common is not None:
+        tile = common.tile
+        chunk = common.chunk
+        scatter_chunk = common.scatter_chunk
+    else:
+        tile = TILE if tile is None else tile
+        chunk = 1024 if chunk is None else chunk
+        scatter_chunk = 512 if scatter_chunk is None else scatter_chunk
     N, E, Ed, L = mesh.n_nodes, mesh.n_elems, mesh.n_edges, mesh.n_layers
     ones3 = np.ones((E, 3), dtype=bool)
     nd_valid = np.arange(mesh.node_edges.shape[1])[None, :] < (
@@ -199,13 +240,13 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None):
     ones1 = np.ones((Ed, 1), dtype=bool)
 
     # pass 1: window block counts from raw index arrays
-    p_a3f_lo = build_gather_plan(oth_lo, val_lo, TILE, N)
-    p_a3f_hi = build_gather_plan(oth_hi, val_hi, TILE, N)
-    p_lo = build_gather_plan(nd_idx, is_lo, TILE, Ed)
-    p_hi = build_gather_plan(nd_idx, is_hi, TILE, Ed)
-    p_b3lo = build_gather_plan(mesh.edges[:, 0:1], ones1, TILE, N)
-    p_b3hi = build_gather_plan(mesh.edges[:, 1:2], ones1, TILE, N)
-    p_a2 = build_gather_plan(mesh.elem_nodes, ones3, TILE, N)
+    p_a3f_lo = build_gather_plan(oth_lo, val_lo, tile, N)
+    p_a3f_hi = build_gather_plan(oth_hi, val_hi, tile, N)
+    p_lo = build_gather_plan(nd_idx, is_lo, tile, Ed)
+    p_hi = build_gather_plan(nd_idx, is_hi, tile, Ed)
+    p_b3lo = build_gather_plan(mesh.edges[:, 0:1], ones1, tile, N)
+    p_b3hi = build_gather_plan(mesh.edges[:, 1:2], ones1, tile, N)
+    p_a2 = build_gather_plan(mesh.elem_nodes, ones3, tile, N)
     j_a3f_lo, j_a3f_hi = p_a3f_lo.nblocks, p_a3f_hi.nblocks
     j_lo, j_hi = p_lo.nblocks, p_hi.nblocks
     j_b3lo, j_b3hi, j_a2 = p_b3lo.nblocks, p_b3hi.nblocks, p_a2.nblocks
@@ -226,15 +267,14 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None):
         j_a2 = common.a2_nblocks
         Np, Ep, Edp = common.Np, common.Ep, common.Edp
         assert common.L == L and common.N == N and common.Ed == Ed
-        assert common.tile == TILE
     else:
         # entity padding: a multiple of TILE (output tiles) that also covers
         # the last tile's window reads ((max win_block + J) * BLOCK columns)
         j_node = max(j_a3f_lo, j_a3f_hi, j_b3lo, j_b3hi, j_a2)
         j_edge = max(j_lo, j_hi)
-        Np = _ru(_ru(N, BLOCK) + j_node * BLOCK, TILE)
-        Edp = _ru(_ru(Ed, BLOCK) + j_edge * BLOCK, TILE)
-        Ep = _ru(E, TILE)
+        Np = _ru(_ru(N, BLOCK) + j_node * BLOCK, tile)
+        Edp = _ru(_ru(Ed, BLOCK) + j_edge * BLOCK, tile)
+        Ep = _ru(E, tile)
 
     def pad_rows(a, n, fill=0):
         out = np.full((n,) + a.shape[1:], fill, dtype=a.dtype)
@@ -244,31 +284,31 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None):
     # pass 2: rebuild with padded output rows so tile counts match the
     # padded entity sizes exactly
     p_a3f_lo = build_gather_plan(
-        pad_rows(oth_lo, Np), pad_rows(val_lo, Np, False), TILE, Np,
+        pad_rows(oth_lo, Np), pad_rows(val_lo, Np, False), tile, Np,
         min_blocks=j_a3f_lo,
     )
     p_a3f_hi = build_gather_plan(
-        pad_rows(oth_hi, Np), pad_rows(val_hi, Np, False), TILE, Np,
+        pad_rows(oth_hi, Np), pad_rows(val_hi, Np, False), tile, Np,
         min_blocks=j_a3f_hi,
     )
     p_lo = build_gather_plan(
-        pad_rows(nd_idx, Np), pad_rows(is_lo, Np, False), TILE, Edp,
+        pad_rows(nd_idx, Np), pad_rows(is_lo, Np, False), tile, Edp,
         min_blocks=j_lo,
     )
     p_hi = build_gather_plan(
-        pad_rows(nd_idx, Np), pad_rows(is_hi, Np, False), TILE, Edp,
+        pad_rows(nd_idx, Np), pad_rows(is_hi, Np, False), tile, Edp,
         min_blocks=j_hi,
     )
     p_b3lo = build_gather_plan(
         pad_rows(mesh.edges[:, 0:1], Edp), pad_rows(ones1, Edp, False),
-        TILE, Np, min_blocks=j_b3lo,
+        tile, Np, min_blocks=j_b3lo,
     )
     p_b3hi = build_gather_plan(
         pad_rows(mesh.edges[:, 1:2], Edp), pad_rows(ones1, Edp, False),
-        TILE, Np, min_blocks=j_b3hi,
+        tile, Np, min_blocks=j_b3hi,
     )
     p_a2 = build_gather_plan(
-        pad_rows(mesh.elem_nodes, Ep), pad_rows(ones3, Ep, False), TILE, Np,
+        pad_rows(mesh.elem_nodes, Ep), pad_rows(ones3, Ep, False), tile, Np,
         min_blocks=j_a2,
     )
     for p, j in ((p_a3f_lo, j_a3f_lo), (p_a3f_hi, j_a3f_hi), (p_lo, j_lo),
@@ -278,12 +318,12 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None):
 
     # per-incidence level bounds in the same k-major column layout as the
     # plans (one per side)
-    T_n = Np // TILE
+    T_n = Np // tile
 
     def lev_km(lev, K):
         lp = pad_rows(lev, Np)
-        return lp.reshape(T_n, TILE, K).transpose(0, 2, 1).reshape(
-            T_n, K * TILE
+        return lp.reshape(T_n, tile, K).transpose(0, 2, 1).reshape(
+            T_n, K * tile
         )
 
     padded = _pad_mesh(mesh, Np, Ep, Edp)
@@ -300,6 +340,27 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None):
         a = pa.win_block
         b = pb.win_block if pb is not None else pa.win_block
         return np.stack([a, b], axis=1)
+
+    # boundary edge tiles: tiles whose edges touch a halo node — the only
+    # b3h work that must wait for the exchanged limiter factors
+    # (reference post_comm, src/fesom2-accelerate.cu:358-379)
+    if halo_mask is not None and halo_mask.any():
+        ebnd = np.zeros(Edp, dtype=bool)
+        ebnd[:Ed] = halo_mask[mesh.edges].any(axis=1)
+        fix_ids = np.nonzero(ebnd.reshape(-1, tile).any(axis=1))[0]
+        fix_ids = fix_ids.astype(np.int32)
+    else:
+        fix_ids = np.zeros(0, dtype=np.int32)
+    n_fix = len(fix_ids)
+    n_fix_pad = max(common.n_fix_tiles if common is not None else n_fix, 1)
+    if common is not None:
+        assert n_fix <= common.n_fix_tiles or common.n_fix_tiles == 0, (
+            "part has more boundary tiles than the common static")
+    # pad by repeating a boundary tile (idempotent recompute); all-interior
+    # parts pad with tile 0 — harmless, it is rewritten with identical data
+    pad_id = fix_ids[0] if n_fix else np.int32(0)
+    fix_ids = np.concatenate(
+        [fix_ids, np.full(n_fix_pad - n_fix, pad_id, np.int32)])
 
     i32 = functools.partial(jnp.asarray, dtype=jnp.int32)
     data = PallasData(
@@ -321,14 +382,17 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None):
         a2_lidx=i32(_tile_cols(p_a2.local_idx)),
         a2_wb=i32(wb2(p_a2)),
         nlev_elem_row=i32(padded.nlev_elem[None, :]),
+        b3h_fix_ids=i32(fix_ids),
     )
     static = PallasStatic(
-        tile=TILE,
+        tile=tile,
         L=L, Lp=Lp, Lpv=_ru(L + 1, 8), N=N, Np=Np, E=E, Ep=Ep, Ed=Ed,
         Edp=Edp, K_lo=K_lo, K_hi=K_hi,
         a3f_lo_nblocks=j_a3f_lo, a3f_hi_nblocks=j_a3f_hi,
         ne_lo_nblocks=j_lo, ne_hi_nblocks=j_hi,
         b3h_lo_nblocks=j_b3lo, b3h_hi_nblocks=j_b3hi, a2_nblocks=j_a2,
+        n_fix_tiles=(common.n_fix_tiles if common is not None else n_fix),
+        chunk=chunk, scatter_chunk=scatter_chunk,
     )
     return data, static
 
@@ -391,7 +455,10 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
     ``exchange`` (sharded runs): callback filling halo columns of a padded
     node array from their owners; applied to the limiter factors between
     K2 and K3 (the reference's MPI exchange_nod point, docs/
-    refactoring.md:199-200) and to the updated fct_LO in iterative mode."""
+    refactoring.md:199-200) and to the updated fct_LO in iterative mode.
+    When the boundary-tile plan exists (``ps.n_fix_tiles > 0``), K3 runs
+    on PRE-exchange factors concurrently with the collective and only the
+    boundary edge tiles are redone afterwards."""
     L, Lp, Lpv = ps.L, ps.Lp, ps.Lpv
 
     ttf = state["ttf"]
@@ -406,41 +473,54 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
         fct_LO, ttf, pd.a3f_lidx_lo, pd.a3f_lev_lo, pd.a3f_lidx_hi,
         pd.a3f_lev_hi, pd.a3f_wb, pd.nlev_nod_row, tile=ps.tile,
         nblocks_lo=ps.a3f_lo_nblocks, nblocks_hi=ps.a3f_hi_nblocks,
-        K_lo=ps.K_lo, K_hi=ps.K_hi, vlimit=cfg.vlimit,
+        K_lo=ps.K_lo, K_hi=ps.K_hi, vlimit=cfg.vlimit, chunk=ps.chunk,
     )
 
-    # K2: b1 vertical + b1 horizontal scatter + b2
-    pm = kernels.limit_pallas(
+    # K2: b1 vertical + b1 horizontal scatter + b2 + b3 vertical
+    pm, av_out, av2 = kernels.limit_pallas(
         adf_v, tt, pd.area_inv_pad, adf_h_pad, pd.starts_col, pd.ends_col,
         pd.nlev_edge_row, pd.ne_wb, pd.nlev_nod_row, tile=ps.tile,
         nblocks_lo=ps.ne_lo_nblocks, nblocks_hi=ps.ne_hi_nblocks, L=L,
-        dt=dt, flux_eps=float(cfg.flux_eps),
+        dt=dt, flux_eps=float(cfg.flux_eps), iter_yn=cfg.iter_yn,
+        chunk=ps.scatter_chunk,
     )
 
-    if exchange is not None:
-        pm = exchange(pm)
+    overlap = exchange is not None and ps.n_fix_tiles > 0
+    pm_x = exchange(pm) if exchange is not None else pm
 
-    # K3: b3 horizontal (split endpoint gathers)
+    # K3: b3 horizontal (split endpoint gathers).  With a boundary plan it
+    # consumes the PRE-exchange factors — interior edges see only owned
+    # endpoints, whose factors the exchange does not change — so the
+    # collective and this sweep are dataflow-independent and overlap.
     adf_h_lim_pad, adf_h_resid_pad = kernels.b3h_pallas(
-        pm, adf_h_pad, pd.b3h_lidx_lo, pd.b3h_lidx_hi, pd.b3h_wb,
-        pd.nlev_edge_row, tile=ps.tile, nblocks_lo=ps.b3h_lo_nblocks,
-        nblocks_hi=ps.b3h_hi_nblocks,
+        pm if overlap else pm_x, adf_h_pad, pd.b3h_lidx_lo, pd.b3h_lidx_hi,
+        pd.b3h_wb, pd.nlev_edge_row, tile=ps.tile,
+        nblocks_lo=ps.b3h_lo_nblocks, nblocks_hi=ps.b3h_hi_nblocks,
+        chunk=ps.chunk,
     )
+    if overlap:
+        # redo only the halo-touching edge tiles with exchanged factors
+        adf_h_lim_pad, adf_h_resid_pad = kernels.b3h_fixup_pallas(
+            pm_x, adf_h_pad, adf_h_lim_pad, adf_h_resid_pad,
+            pd.b3h_lidx_lo, pd.b3h_lidx_hi, pd.b3h_wb, pd.b3h_fix_ids,
+            pd.nlev_edge_row, tile=ps.tile, nblocks_lo=ps.b3h_lo_nblocks,
+            nblocks_hi=ps.b3h_hi_nblocks, chunk=ps.chunk,
+        )
 
-    # K4: b3 vertical + stage c
-    av_out, av2, o1, o2 = kernels.update_pallas(
-        pm, adf_v, ttf, state["hnode"], state["hnode_new"], fct_LO,
+    # K4: stage c
+    o1, o2 = kernels.update_pallas(
+        av_out, ttf, state["hnode"], state["hnode_new"], fct_LO,
         state["del_ttf_advvert"], state["del_ttf_advhoriz"],
         pd.area_inv_pad, adf_h_lim_pad, pd.starts_col, pd.ends_col,
         pd.nlev_edge_row, pd.ne_wb, pd.nlev_nod_row, tile=ps.tile,
         nblocks_lo=ps.ne_lo_nblocks, nblocks_hi=ps.ne_hi_nblocks, L=L,
-        dt=dt, iter_yn=cfg.iter_yn,
+        dt=dt, iter_yn=cfg.iter_yn, chunk=ps.scatter_chunk,
     )
 
     out = dict(state)
     out.update(
         fct_ttf_max=tt[:Lp], fct_ttf_min=tt[Lp:],
-        fct_plus=pm[:Lp], fct_minus=pm[Lp:],
+        fct_plus=pm_x[:Lp], fct_minus=pm_x[Lp:],
     )
     if cfg.iter_yn:
         if exchange is not None:

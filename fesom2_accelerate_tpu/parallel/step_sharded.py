@@ -210,9 +210,18 @@ class ShardedFctAleSolver:
             from fesom2_accelerate_tpu.ops.pallas import step as pstep
 
             assert cfg.dtype == jnp.float32, "pallas backend is f32-only"
+            # per-part halo-column masks drive the interior/boundary b3h
+            # split: K3 overlaps the exchange, the fixup follows it
+            halo_masks = []
+            for p in range(self.n_parts):
+                hm = np.zeros(pm.local_meshes[p].n_nodes, dtype=bool)
+                hm[:pm.H] = True
+                hm[pm.H + pm.B:pm.H + pm.B + pm.H] = True
+                halo_masks.append(hm)
             # pass A: independent statics; pass B: rebuild under the common
             # (max) static so shard_map sees one program on every device
-            statics = [pstep.build_pallas_data(m)[1] for m in pm.local_meshes]
+            statics = [pstep.build_pallas_data(m, halo_mask=hm)[1]
+                       for m, hm in zip(pm.local_meshes, halo_masks)]
             common = dataclasses.replace(
                 statics[0],
                 Np=max(s.Np for s in statics),
@@ -227,9 +236,10 @@ class ShardedFctAleSolver:
                 b3h_lo_nblocks=max(s.b3h_lo_nblocks for s in statics),
                 b3h_hi_nblocks=max(s.b3h_hi_nblocks for s in statics),
                 a2_nblocks=max(s.a2_nblocks for s in statics),
+                n_fix_tiles=max(s.n_fix_tiles for s in statics),
             )
-            pds = [pstep.build_pallas_data(m, common=common)[0]
-                   for m in pm.local_meshes]
+            pds = [pstep.build_pallas_data(m, common=common, halo_mask=hm)[0]
+                   for m, hm in zip(pm.local_meshes, halo_masks)]
             self.ps = common
             self.md = put_stacked(pds)
             self._pstep = pstep

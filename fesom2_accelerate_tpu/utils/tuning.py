@@ -57,12 +57,7 @@ def tune_a2(mesh, tiles=(128, 256, 512), iters=20, rtol=1e-5):
 
     results = []
     for tile in tiles:
-        old_tile = pstep.TILE
-        try:
-            pstep.TILE = tile
-            pd, ps = pstep.build_pallas_data(mesh)
-        finally:
-            pstep.TILE = old_tile
+        pd, ps = pstep.build_pallas_data(mesh, tile=tile)
         L, Lp = ps.L, ps.Lp
         tmax = np.zeros((Lp, ps.Np), np.float32)
         tmin = np.zeros((Lp, ps.Np), np.float32)
@@ -132,12 +127,7 @@ def tune_step(mesh, tiles=(256, 512), steps=10, rtol=1e-4,
 
     results = []
     for tile in tiles:
-        old_tile = pstep.TILE
-        try:
-            pstep.TILE = tile
-            solver = FctAleSolver(mesh, cfg, backend="pallas")
-        finally:
-            pstep.TILE = old_tile
+        solver = FctAleSolver(mesh, cfg, backend="pallas", tile=tile)
         state = solver.init_state(fields)
         out = solver.step(state)
         err = 0.0
