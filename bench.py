@@ -24,9 +24,13 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     # default = flagship config: CORE2-scale mesh on the fused Pallas
-    # backend (4-kernel chain, cold compile ~2 s)
+    # backend (4-kernel chain, cold compile ~2 s).  steps=100: the tunneled
+    # backend costs ~25 ms of dispatch+sync PER JITTED CALL regardless of
+    # scan length (measured: scan of 20/100/1000 trivial steps all ~25-28 ms
+    # total), so short scans overstate per-step time by dispatch/steps —
+    # 100 steps bounds the bias at ~0.25 ms/step.
     ap.add_argument("--preset", default="core2")
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     ap.add_argument("--iter", action="store_true", help="iterative FCT mode")
     ap.add_argument("--backend", default="pallas", choices=["xla", "pallas"])
@@ -106,6 +110,10 @@ def _bench_stress2rhs(mesh, args, dtype):
     import jax.numpy as jnp
 
     from fesom2_accelerate_tpu.model.stress2rhs import Stress2RhsSolver
+    from fesom2_accelerate_tpu.runtime.profiling import (
+        hbm_peak_bytes_per_s,
+        stress2rhs_bytes,
+    )
 
     rng = np.random.default_rng(7)
     E, N = mesh.n_elems, mesh.n_nodes
@@ -126,12 +134,17 @@ def _bench_stress2rhs(mesh, args, dtype):
     float(jnp.sum(out[0]))
     dt_s = (time.perf_counter() - t0) / args.steps
     dev = jax.devices()[0]
+    itemsize = 4 if args.dtype == "f32" else 8
+    model_bytes = stress2rhs_bytes(mesh, itemsize)
+    peak = hbm_peak_bytes_per_s(getattr(dev, "device_kind", None))
     print(json.dumps({
         "metric": f"stress2rhs_{args.preset}_{args.dtype}_{args.backend}",
         "value": round(N / dt_s, 1),
         "unit": "nodes/s/chip",
-        "vs_baseline": 0.0,
+        "vs_baseline": round((model_bytes / dt_s) / peak, 4),
         "detail": {"call_ms": round(dt_s * 1e3, 3),
+                   "modeled_GB": round(model_bytes / 1e9, 4),
+                   "eff_GBps": round(model_bytes / dt_s / 1e9, 1),
                    "device": str(getattr(dev, "device_kind", dev))},
     }))
 

@@ -53,8 +53,12 @@ class MeshData:
     not_surface: jax.Array  # [L, N] bool: z >= 1 (b3v residual rows)
 
 
-def build_mesh_data(mesh: Mesh, dtype=jnp.float32) -> MeshData:
-    """Build the device pytree; cast float data to the compute dtype."""
+def build_mesh_data(mesh: Mesh, dtype=jnp.float32, xp=jnp) -> MeshData:
+    """Build the device pytree; cast float data to the compute dtype.
+
+    ``xp=np`` keeps everything host-side (no default-device placement) —
+    used by the sharded solver, which stacks per-part data and places it
+    with an explicit sharding in one transfer."""
     mk = oracle.masks(mesh)
     L = mesh.n_layers
     z = np.arange(L)[:, None]
@@ -63,9 +67,9 @@ def build_mesh_data(mesh: Mesh, dtype=jnp.float32) -> MeshData:
     interior_row = (z >= 1) & (z <= mesh.nlev_nod[None, :] - 3)
     not_surface = np.broadcast_to(z >= 1, (L, mesh.n_nodes))
 
-    f = lambda x: jnp.asarray(x, dtype=dtype)
-    i = lambda x: jnp.asarray(x, dtype=jnp.int32)
-    b = lambda x: jnp.asarray(x, dtype=jnp.bool_)
+    f = lambda x: xp.asarray(x, dtype=dtype)
+    i = lambda x: xp.asarray(x, dtype=jnp.int32)
+    b = lambda x: xp.asarray(x, dtype=jnp.bool_)
 
     # other endpoint of each incident edge (used by the fused a2+a3
     # neighbor-max formulation): sign +1 means this node is the edge start,

@@ -248,34 +248,11 @@ def _gather_bounded(lo_refs, ttf_refs, lidx_ref, lev_ref, C, Lp,
     return jnp.concatenate([g[:Lp] - P, g[Lp:] + P], axis=0)
 
 
-def _bounds_kernel(wb_ref, lidx_lo_ref, lev_lo_ref, lidx_hi_ref, lev_hi_ref,
-                   nlev_ref, lo_t_ref, ttf_t_ref, *refs,
-                   Lp, TN, K1, K2, J1, J2, vlimit, chunk):
-    o = 0
-    LO_lo = refs[o:o + J1]; o += J1
-    TT_lo = refs[o:o + J1]; o += J1
-    LO_hi = refs[o:o + J2]; o += J2
-    TT_hi = refs[o:o + J2]; o += J2
-    out_ref = refs[o]
-
-    g1 = _gather_bounded(LO_lo, TT_lo, lidx_lo_ref, lev_lo_ref, K1 * TN, Lp,
-                         chunk)
-    g2 = _gather_bounded(LO_hi, TT_hi, lidx_hi_ref, lev_hi_ref, K2 * TN, Lp,
-                         chunk)
-
-    z = _row_iota((Lp, TN))
-    nlev = nlev_ref[:]
-    active = z < (nlev - 1)
-    lo_t = lo_t_ref[:]
-    tt_t = ttf_t_ref[:]
-    acc_max = jnp.where(active, jnp.maximum(lo_t, tt_t), -_BIG)
-    acc_min = jnp.where(active, jnp.minimum(lo_t, tt_t), _BIG)
-    for g, K in ((g1, K1), (g2, K2)):
-        for k in range(K):
-            sl = slice(k * TN, (k + 1) * TN)
-            acc_max = jnp.maximum(acc_max, g[:Lp, sl])
-            acc_min = jnp.minimum(acc_min, g[Lp:, sl])
-
+def _bounds_epilogue(out_ref, acc_max, acc_min, lo_t, tt_t, active, z, nlev,
+                     Lp, vlimit):
+    """Shared K1 tail: 3-level vertical window over the cluster bounds and
+    the final ``fct_ttf_max/min = bounds - fct_LO`` write (reference
+    src/reference.cpp:353-392; vlimit 2/3 per docs/refactoring.md:113-148)."""
     plain = (z == 0) | (z >= nlev - 2)
     if vlimit == 1:
         # 3-level window over the cluster bounds (src/reference.cpp:353-392)
@@ -304,6 +281,38 @@ def _bounds_kernel(wb_ref, lidx_lo_ref, lev_lo_ref, lidx_hi_ref, lev_hi_ref,
         sel_min = jnp.where(plain, acc_min, cmin)
     out_ref[:Lp] = jnp.where(active, sel_max - lo_t, 0.0)
     out_ref[Lp:] = jnp.where(active, sel_min - lo_t, 0.0)
+
+
+def _bounds_kernel(wb_ref, lidx_lo_ref, lev_lo_ref, lidx_hi_ref, lev_hi_ref,
+                   nlev_ref, lo_t_ref, ttf_t_ref, *refs,
+                   Lp, TN, K1, K2, J1, J2, vlimit, chunk):
+    o = 0
+    LO_lo = refs[o:o + J1]; o += J1
+    TT_lo = refs[o:o + J1]; o += J1
+    LO_hi = refs[o:o + J2]; o += J2
+    TT_hi = refs[o:o + J2]; o += J2
+    out_ref = refs[o]
+
+    g1 = _gather_bounded(LO_lo, TT_lo, lidx_lo_ref, lev_lo_ref, K1 * TN, Lp,
+                         chunk)
+    g2 = _gather_bounded(LO_hi, TT_hi, lidx_hi_ref, lev_hi_ref, K2 * TN, Lp,
+                         chunk)
+
+    z = _row_iota((Lp, TN))
+    nlev = nlev_ref[:]
+    active = z < (nlev - 1)
+    lo_t = lo_t_ref[:]
+    tt_t = ttf_t_ref[:]
+    acc_max = jnp.where(active, jnp.maximum(lo_t, tt_t), -_BIG)
+    acc_min = jnp.where(active, jnp.minimum(lo_t, tt_t), _BIG)
+    for g, K in ((g1, K1), (g2, K2)):
+        for k in range(K):
+            sl = slice(k * TN, (k + 1) * TN)
+            acc_max = jnp.maximum(acc_max, g[:Lp, sl])
+            acc_min = jnp.minimum(acc_min, g[Lp:, sl])
+
+    _bounds_epilogue(out_ref, acc_max, acc_min, lo_t, tt_t, active, z, nlev,
+                     Lp, vlimit)
 
 
 def bounds_pallas(fct_LO_pad, ttf_pad, lidx_lo, lev_lo, lidx_hi, lev_hi,
@@ -345,6 +354,105 @@ def bounds_pallas(fct_LO_pad, ttf_pad, lidx_lo, lev_lo, lidx_hi, lev_hi,
     )(wb2, lidx_lo, lev_lo, lidx_hi, lev_hi, nlev_nod_row, fct_LO_pad,
       ttf_pad, *([fct_LO_pad] * J1), *([ttf_pad] * J1),
       *([fct_LO_pad] * J2), *([ttf_pad] * J2))
+
+
+# --------------------------------------------------------------------------
+# K1 bounds, DIA form: on a bandwidth-ordered mesh the distinct values of
+# ``neighbor_id - node_id`` within a node tile form a SMALL set (8 on the
+# structured presets; bounded by ~2x the stencil size after RCM).  The
+# neighbor reduction then needs no one-hot contraction at all: for each
+# distinct offset d the neighbor values are a dynamic lane-shift of the
+# window slab, masked by the per-(node, d) edge level bound — a pure-VPU
+# sparse-diagonal (DIA) stencil, ~10x less work than the MXU one-hot form.
+# This is the TPU analogue of a banded-matrix kernel; the one-hot form
+# remains the fallback for meshes without small offset sets (plan picked in
+# step.build_pallas_data via dia_max).
+# --------------------------------------------------------------------------
+
+
+def _bounds_dia_kernel(wb_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref, *refs,
+                       Lp, TN, D, J, vlimit):
+    LO = refs[:J]
+    TT = refs[J:2 * J]
+    out_ref = refs[2 * J]
+    scr = refs[2 * J + 1]  # [2Lp, W + TN] VMEM scratch
+    lo_w = _concat(LO)
+    tt_w = _concat(TT)
+    # a1 on the window (reference src/reference.cpp:306-319), staged through
+    # VMEM scratch so each offset is a dynamic-lane-offset LOAD of just
+    # [2Lp, TN] (cost ~ slice size), not a roll of the whole slab
+    W = lo_w.shape[1]
+    a1max = jnp.maximum(lo_w, tt_w)
+    a1min = jnp.minimum(lo_w, tt_w)
+    scr[:Lp, :W] = a1max
+    scr[Lp:, :W] = a1min
+    # mirror the first TN columns so slices wrap like the mod-W shifts the
+    # host computed (shifts may encode negative raw offsets)
+    scr[:Lp, W:] = a1max[:, :TN]
+    scr[Lp:, W:] = a1min[:, :TN]
+    z = _row_iota((Lp, TN))
+    nlev = nlev_ref[:]
+    active = z < (nlev - 1)
+    lo_t = lo_t_ref[:]
+    tt_t = ttf_t_ref[:]
+    acc_max = jnp.where(active, jnp.maximum(lo_t, tt_t), -_BIG)
+    acc_min = jnp.where(active, jnp.minimum(lo_t, tt_t), _BIG)
+    i = pl.program_id(0)
+    lev_all = lev_ref[0]  # [D, TN]
+    for d in range(D):
+        # per-(tile, d) shift s in [0, W), decomposed host-side into a
+        # 128-aligned block offset (Mosaic requires lane-dim dynamic loads
+        # to be 128-aligned) and a lane residue handled by rolling only the
+        # narrow [2Lp, TN+BLOCK] segment — not the whole window slab
+        q = wb_ref[i, 1 + d]
+        rem = wb_ref[i, 1 + D + d]
+        seg = scr[:, pl.ds(pl.multiple_of(q * BLOCK, BLOCK), TN + BLOCK)]
+        r = pltpu.roll(seg, -rem, axis=1)[:, :TN]
+        # per-(node, d) level bound of the connecting edge; 0 = no neighbor
+        # at this offset (also masks out-of-window garbage lanes)
+        m = z < lev_all[d:d + 1]
+        acc_max = jnp.where(m, jnp.maximum(acc_max, r[:Lp]), acc_max)
+        acc_min = jnp.where(m, jnp.minimum(acc_min, r[Lp:]), acc_min)
+    _bounds_epilogue(out_ref, acc_max, acc_min, lo_t, tt_t, active, z, nlev,
+                     Lp, vlimit)
+
+
+def bounds_dia_pallas(fct_LO_pad, ttf_pad, dia_wb, dia_lev, nlev_nod_row, *,
+                      tile, nblocks, D, vlimit=1):
+    """DIA-form K1: fct_LO/ttf [Lp, Np] -> fct_ttf stacked [2Lp, Np].
+
+    ``dia_wb`` [T, 1+D]: col 0 = window first block, cols 1.. = per-offset
+    lane shifts (mod window width).  ``dia_lev`` [T, D, tile]: per-(node,
+    offset) connecting-edge level bound (0 = absent)."""
+    Lp, Np = fct_LO_pad.shape
+    T = Np // tile
+    J = nblocks
+    assert J * BLOCK >= tile, "DIA window narrower than the tile"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, D, tile), lambda i, wb: (i, 0, 0)),
+            _tile_spec((1, tile)),
+            _tile_spec((Lp, tile)),
+            _tile_spec((Lp, tile)),
+            *_win_specs(Lp, J, 0, n=2),
+        ],
+        out_specs=_tile_spec((2 * Lp, tile)),
+        scratch_shapes=[
+            pltpu.VMEM((2 * Lp, J * BLOCK + tile), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_bounds_dia_kernel, Lp=Lp, TN=tile, D=D, J=J,
+                               vlimit=vlimit)
+    return pl.pallas_call(
+        kernel,
+        name="fct_bounds_dia",
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        out_shape=jax.ShapeDtypeStruct((2 * Lp, Np), jnp.float32),
+    )(dia_wb, dia_lev, nlev_nod_row, fct_LO_pad, ttf_pad,
+      *([fct_LO_pad] * J), *([ttf_pad] * J))
 
 
 # --------------------------------------------------------------------------

@@ -97,6 +97,12 @@ class PallasData:
     a3f_lev_hi: jax.Array
     a3f_wb: jax.Array  # [T_n, 2] (lo window block, hi window block)
 
+    # K1 bounds, DIA form (used when PallasStatic.a3f_dia_D > 0): per-tile
+    # window block + per-offset lane shifts, and per-(node, offset) edge
+    # level bounds (kernels.bounds_dia_pallas)
+    a3f_dia_wb: jax.Array  # [T_n, 1 + D] int32
+    a3f_dia_lev: jax.Array  # [T_n, D, tile] int32
+
     # edge scatter windows per node tile (K2, K4): lo = edges starting in
     # the tile (narrow), hi = edges ending in it (bandwidth-wide)
     ne_wb: jax.Array  # [T_n, 2] (lo block, hi block)
@@ -148,6 +154,10 @@ class PallasStatic:
     # one-hot contraction chunk widths (gathers / scatters)
     chunk: int = 1024
     scatter_chunk: int = 512
+    # K1 DIA form: union-window block count and max distinct neighbor
+    # offsets per tile (0 = use the one-hot form)
+    a3f_un_nblocks: int = 2
+    a3f_dia_D: int = 0
 
 
 def _pad_mesh(mesh: Mesh, Np: int, Ep: int, Edp: int) -> Mesh:
@@ -185,7 +195,9 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
                       tile: "int | None" = None,
                       chunk: "int | None" = None,
                       scatter_chunk: "int | None" = None,
-                      halo_mask: "np.ndarray | None" = None):
+                      dia_max: int = 40,
+                      halo_mask: "np.ndarray | None" = None,
+                      xp=jnp):
     """Returns (PallasData, PallasStatic).
 
     ``common``: force this static layout (padded sizes / window block
@@ -242,18 +254,23 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
     # pass 1: window block counts from raw index arrays
     p_a3f_lo = build_gather_plan(oth_lo, val_lo, tile, N)
     p_a3f_hi = build_gather_plan(oth_hi, val_hi, tile, N)
+    # union window for the DIA form (needs >= tile lanes for the shifts)
+    p_a3f_un = build_gather_plan(nd_other, nd_valid, tile, N,
+                                 min_blocks=tile // BLOCK)
     p_lo = build_gather_plan(nd_idx, is_lo, tile, Ed)
     p_hi = build_gather_plan(nd_idx, is_hi, tile, Ed)
     p_b3lo = build_gather_plan(mesh.edges[:, 0:1], ones1, tile, N)
     p_b3hi = build_gather_plan(mesh.edges[:, 1:2], ones1, tile, N)
     p_a2 = build_gather_plan(mesh.elem_nodes, ones3, tile, N)
     j_a3f_lo, j_a3f_hi = p_a3f_lo.nblocks, p_a3f_hi.nblocks
+    j_a3f_un = p_a3f_un.nblocks
     j_lo, j_hi = p_lo.nblocks, p_hi.nblocks
     j_b3lo, j_b3hi, j_a2 = p_b3lo.nblocks, p_b3hi.nblocks, p_a2.nblocks
 
     if common is not None:
         assert (j_a3f_lo <= common.a3f_lo_nblocks
                 and j_a3f_hi <= common.a3f_hi_nblocks
+                and j_a3f_un <= common.a3f_un_nblocks
                 and j_lo <= common.ne_lo_nblocks
                 and j_hi <= common.ne_hi_nblocks
                 and j_b3lo <= common.b3h_lo_nblocks
@@ -262,6 +279,7 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
                 and K_lo == common.K_lo and K_hi == common.K_hi), (
             "mesh exceeds common static")
         j_a3f_lo, j_a3f_hi = common.a3f_lo_nblocks, common.a3f_hi_nblocks
+        j_a3f_un = common.a3f_un_nblocks
         j_lo, j_hi = common.ne_lo_nblocks, common.ne_hi_nblocks
         j_b3lo, j_b3hi = common.b3h_lo_nblocks, common.b3h_hi_nblocks
         j_a2 = common.a2_nblocks
@@ -270,7 +288,7 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
     else:
         # entity padding: a multiple of TILE (output tiles) that also covers
         # the last tile's window reads ((max win_block + J) * BLOCK columns)
-        j_node = max(j_a3f_lo, j_a3f_hi, j_b3lo, j_b3hi, j_a2)
+        j_node = max(j_a3f_lo, j_a3f_hi, j_a3f_un, j_b3lo, j_b3hi, j_a2)
         j_edge = max(j_lo, j_hi)
         Np = _ru(_ru(N, BLOCK) + j_node * BLOCK, tile)
         Edp = _ru(_ru(Ed, BLOCK) + j_edge * BLOCK, tile)
@@ -290,6 +308,10 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
     p_a3f_hi = build_gather_plan(
         pad_rows(oth_hi, Np), pad_rows(val_hi, Np, False), tile, Np,
         min_blocks=j_a3f_hi,
+    )
+    p_a3f_un = build_gather_plan(
+        pad_rows(nd_other, Np), pad_rows(nd_valid, Np, False), tile, Np,
+        min_blocks=j_a3f_un,
     )
     p_lo = build_gather_plan(
         pad_rows(nd_idx, Np), pad_rows(is_lo, Np, False), tile, Edp,
@@ -311,10 +333,52 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
         pad_rows(mesh.elem_nodes, Ep), pad_rows(ones3, Ep, False), tile, Np,
         min_blocks=j_a2,
     )
-    for p, j in ((p_a3f_lo, j_a3f_lo), (p_a3f_hi, j_a3f_hi), (p_lo, j_lo),
+    for p, j in ((p_a3f_lo, j_a3f_lo), (p_a3f_hi, j_a3f_hi),
+                 (p_a3f_un, j_a3f_un), (p_lo, j_lo),
                  (p_hi, j_hi), (p_b3lo, j_b3lo), (p_b3hi, j_b3hi),
                  (p_a2, j_a2)):
         assert p.nblocks == j
+
+    # ---- K1 DIA plan: distinct neighbor offsets per node tile -----------
+    # (kernels.bounds_dia_pallas; picked over the one-hot form when the max
+    # distinct-offset count D stays small — true for any bandwidth-ordered
+    # mesh, where neighbor offsets cluster around +-1 and +-bandwidth)
+    T_n = Np // tile
+    W_un = j_a3f_un * BLOCK
+    dv = np.where(nd_valid, nd_other - n_col, 0)
+    dv_p = pad_rows(dv, Np)
+    lev_p = pad_rows(nd_lev, Np)
+    val_p = pad_rows(nd_valid, Np, False)
+    offs_per_tile = []
+    for t in range(T_n):
+        sl = slice(t * tile, (t + 1) * tile)
+        offs_per_tile.append(np.unique(dv_p[sl][val_p[sl]]))
+    D_own = max((len(o) for o in offs_per_tile), default=1)
+    D_own = max(D_own, 1)
+    if common is not None:
+        D = common.a3f_dia_D
+        assert D == 0 or D_own <= D, "part exceeds common DIA offset count"
+    else:
+        D = D_own if D_own <= dia_max else 0
+    if D:
+        # wb row layout: [win_block, q_0..q_{D-1}, rem_0..rem_{D-1}] where
+        # shift s = 128*q + rem (aligned load + narrow lane roll in-kernel)
+        dia_wb = np.zeros((T_n, 1 + 2 * D), dtype=np.int32)
+        dia_wb[:, 0] = p_a3f_un.win_block
+        dia_lev = np.zeros((T_n, D, tile), dtype=np.int32)
+        for t in range(T_n):
+            offs = offs_per_tile[t]
+            t0 = t * tile
+            s = (t0 + offs - int(p_a3f_un.win_block[t]) * BLOCK) % W_un
+            dia_wb[t, 1:1 + len(offs)] = s // BLOCK
+            dia_wb[t, 1 + D:1 + D + len(offs)] = s % BLOCK
+            sl = slice(t0, t0 + tile)
+            r, k = np.nonzero(val_p[sl])
+            slot = np.searchsorted(offs, dv_p[sl][r, k])
+            dia_lev[t, slot, r] = lev_p[sl][r, k]
+    else:
+        dia_wb = np.zeros((T_n, 3), dtype=np.int32)
+        dia_lev = np.zeros((T_n, 1, tile), dtype=np.int32)
 
     # per-incidence level bounds in the same k-major column layout as the
     # plans (one per side)
@@ -327,7 +391,7 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
         )
 
     padded = _pad_mesh(mesh, Np, Ep, Edp)
-    md = build_mesh_data(padded, dtype=jnp.float32)
+    md = build_mesh_data(padded, dtype=jnp.float32, xp=xp)
 
     starts = pad_rows(mesh.edges[:, 0:1], Edp, fill=-1).astype(np.int32)
     ends = pad_rows(mesh.edges[:, 1:2], Edp, fill=-1).astype(np.int32)
@@ -362,16 +426,18 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
     fix_ids = np.concatenate(
         [fix_ids, np.full(n_fix_pad - n_fix, pad_id, np.int32)])
 
-    i32 = functools.partial(jnp.asarray, dtype=jnp.int32)
+    i32 = functools.partial(xp.asarray, dtype=jnp.int32)
     data = PallasData(
         md=md,
         nlev_nod_row=i32(padded.nlev_nod[None, :]),
-        area_inv_pad=jnp.asarray(area_inv),
+        area_inv_pad=xp.asarray(area_inv),
         a3f_lidx_lo=i32(_tile_cols(p_a3f_lo.local_idx)),
         a3f_lev_lo=i32(_tile_cols(lev_km(lev_lo, K_lo))),
         a3f_lidx_hi=i32(_tile_cols(p_a3f_hi.local_idx)),
         a3f_lev_hi=i32(_tile_cols(lev_km(lev_hi, K_hi))),
         a3f_wb=i32(wb2(p_a3f_lo, p_a3f_hi)),
+        a3f_dia_wb=i32(dia_wb),
+        a3f_dia_lev=i32(dia_lev),
         ne_wb=i32(wb2(p_lo, p_hi)),
         starts_col=i32(starts),
         ends_col=i32(ends),
@@ -393,6 +459,7 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
         b3h_lo_nblocks=j_b3lo, b3h_hi_nblocks=j_b3hi, a2_nblocks=j_a2,
         n_fix_tiles=(common.n_fix_tiles if common is not None else n_fix),
         chunk=chunk, scatter_chunk=scatter_chunk,
+        a3f_un_nblocks=j_a3f_un, a3f_dia_D=D,
     )
     return data, static
 
@@ -468,13 +535,22 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
 
     dt = float(cfg.dt)
     # K1: a1 + fused a2+a3 (no UV array): neighbor max over incident
-    # edges with per-neighbor level bounds; all vlimit variants in-kernel
-    tt = kernels.bounds_pallas(
-        fct_LO, ttf, pd.a3f_lidx_lo, pd.a3f_lev_lo, pd.a3f_lidx_hi,
-        pd.a3f_lev_hi, pd.a3f_wb, pd.nlev_nod_row, tile=ps.tile,
-        nblocks_lo=ps.a3f_lo_nblocks, nblocks_hi=ps.a3f_hi_nblocks,
-        K_lo=ps.K_lo, K_hi=ps.K_hi, vlimit=cfg.vlimit, chunk=ps.chunk,
-    )
+    # edges with per-neighbor level bounds; all vlimit variants in-kernel.
+    # DIA form (masked lane shifts per distinct neighbor offset) when the
+    # mesh ordering admits it, one-hot MXU contraction otherwise.
+    if ps.a3f_dia_D:
+        tt = kernels.bounds_dia_pallas(
+            fct_LO, ttf, pd.a3f_dia_wb, pd.a3f_dia_lev, pd.nlev_nod_row,
+            tile=ps.tile, nblocks=ps.a3f_un_nblocks, D=ps.a3f_dia_D,
+            vlimit=cfg.vlimit,
+        )
+    else:
+        tt = kernels.bounds_pallas(
+            fct_LO, ttf, pd.a3f_lidx_lo, pd.a3f_lev_lo, pd.a3f_lidx_hi,
+            pd.a3f_lev_hi, pd.a3f_wb, pd.nlev_nod_row, tile=ps.tile,
+            nblocks_lo=ps.a3f_lo_nblocks, nblocks_hi=ps.a3f_hi_nblocks,
+            K_lo=ps.K_lo, K_hi=ps.K_hi, vlimit=cfg.vlimit, chunk=ps.chunk,
+        )
 
     # K2: b1 vertical + b1 horizontal scatter + b2 + b3 vertical
     pm, av_out, av2 = kernels.limit_pallas(

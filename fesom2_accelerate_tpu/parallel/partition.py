@@ -66,19 +66,36 @@ class PartitionedMesh:
     halo_hi_src_part: np.ndarray  # [P, H]
     halo_hi_src_idx: np.ndarray  # [P, H]
 
-    # neighbor-only exchange (the reference's MPI point-to-point
-    # ``exchange_nod`` analogue, docs/refactoring.md:200): packed send lists.
-    # True iff every lo halo is owned by part p-1 and every hi halo by p+1
-    # (holds whenever block size >= mesh bandwidth); then the exchange is two
-    # ppermute shifts of H-wide slabs instead of a P*B all-gather.
-    neighbor_only: bool
-    # owned-block indices part p sends up to p+1 (packed right-aligned in
-    # the order of p+1's lo-halo columns) / down to p-1 (left-aligned, the
-    # order of p-1's hi-halo columns)
-    send_up_idx: np.ndarray  # [P, H]
-    send_dn_idx: np.ndarray  # [P, H]
+    # packed point-to-point exchange (the reference's MPI ``exchange_nod``
+    # analogue, docs/refactoring.md:200), generalized to MULTI-HOP: a part's
+    # halo may be owned by parts up to ``neighbor_radius`` stripes away
+    # (radius > 1 whenever block size < mesh bandwidth).  Hop ``r`` moves
+    # one packed slab of width ``hop_up_w[r-1]`` (resp. dn) per direction
+    # via ppermute(shift r); total comm = sum of true halo sizes (padded to
+    # the per-hop max across parts), NOT P*B.
+    neighbor_only: bool  # True iff neighbor_radius == 1
+    neighbor_radius: int  # R: max |owner(halo) - part|
+    # owned-block indices part p sends to p+r / p-r, packed in the order
+    # the receiver's halo columns expect (ascending global id)
+    hop_send_up: list  # R arrays [P, hop_up_w[r-1]] int32
+    hop_send_dn: list  # R arrays [P, hop_dn_w[r-1]] int32
+    # per halo column: owner hop distance (0 = padding column) and the
+    # column's position inside that hop's packed slab
+    halo_lo_hop: np.ndarray  # [P, H] int32
+    halo_lo_pos: np.ndarray  # [P, H] int32
+    halo_hi_hop: np.ndarray  # [P, H] int32
+    halo_hi_pos: np.ndarray  # [P, H] int32
     halo_lo_mask: np.ndarray  # [P, H] valid lo-halo columns
     halo_hi_mask: np.ndarray  # [P, H] valid hi-halo columns
+
+    @property
+    def send_up_idx(self) -> np.ndarray:
+        """[P, w] hop-1 up send list (the R == 1 fast-path view)."""
+        return self.hop_send_up[0]
+
+    @property
+    def send_dn_idx(self) -> np.ndarray:
+        return self.hop_send_dn[0]
 
     local_meshes: list  # list of per-part Mesh with local connectivity
 
@@ -185,25 +202,61 @@ def partition_mesh(mesh: Mesh, n_parts: int) -> PartitionedMesh:
             )
         )
 
-    # packed neighbor send lists: part p's owned indices ordered as the
-    # receiving neighbor's halo columns expect them (pad slots -> idx 0,
-    # masked at the receiver)
-    neighbor_only = True
-    send_up_idx = np.zeros((P, H), dtype=np.int32)
-    send_dn_idx = np.zeros((P, H), dtype=np.int32)
+    # packed multi-hop send lists: part p's owned indices ordered as the
+    # receiving part's halo columns expect them (ascending global id).
+    # Hop r serves every (p -> p+-r) pair at once via ppermute(shift r);
+    # per-hop slab widths are the max needed by any pair, so total comm is
+    # proportional to the true halo sizes, not P*B.
+    R = 1
     for p in range(P):
         _, halo_lo, halo_hi, _, _ = parts[p]
-        if len(halo_lo) and not (owner[halo_lo] == p - 1).all():
-            neighbor_only = False
-        if len(halo_hi) and not (owner[halo_hi] == p + 1).all():
-            neighbor_only = False
-    if neighbor_only:
-        for p in range(P - 1):
-            nxt_lo = parts[p + 1][1]  # p+1's lo halo, ascending global ids
-            send_up_idx[p, H - len(nxt_lo):] = nxt_lo - bounds[p]
-        for p in range(1, P):
-            prv_hi = parts[p - 1][2]  # p-1's hi halo
-            send_dn_idx[p, : len(prv_hi)] = prv_hi - bounds[p]
+        if len(halo_lo):
+            R = max(R, int(p - owner[halo_lo].min()))
+        if len(halo_hi):
+            R = max(R, int(owner[halo_hi].max() - p))
+    halo_lo_hop = np.zeros((P, H), dtype=np.int32)
+    halo_lo_pos = np.zeros((P, H), dtype=np.int32)
+    halo_hi_hop = np.zeros((P, H), dtype=np.int32)
+    halo_hi_pos = np.zeros((P, H), dtype=np.int32)
+    up_lists = [[np.zeros(0, np.int32)] * P for _ in range(R)]
+    dn_lists = [[np.zeros(0, np.int32)] * P for _ in range(R)]
+    for p in range(P):
+        _, halo_lo, halo_hi, _, _ = parts[p]
+        h1, h2 = len(halo_lo), len(halo_hi)
+        for r in range(1, R + 1):
+            src = p - r
+            if src >= 0 and h1:
+                sel = owner[halo_lo] == src
+                if sel.any():
+                    gids = halo_lo[sel]  # ascending
+                    up_lists[r - 1][src] = (gids - bounds[src]).astype(
+                        np.int32)
+                    cols = H - h1 + np.nonzero(sel)[0]
+                    halo_lo_hop[p, cols] = r
+                    halo_lo_pos[p, cols] = np.arange(len(gids))
+            src = p + r
+            if src < P and h2:
+                sel = owner[halo_hi] == src
+                if sel.any():
+                    gids = halo_hi[sel]
+                    dn_lists[r - 1][src] = (gids - bounds[src]).astype(
+                        np.int32)
+                    cols = np.nonzero(sel)[0]
+                    halo_hi_hop[p, cols] = r
+                    halo_hi_pos[p, cols] = np.arange(len(gids))
+
+    def pack(lists):
+        out = []
+        for hop in lists:  # per-hop width: comm volume ~ true halo sizes
+            w = max(max((len(a) for a in hop), default=0), 1)
+            arr = np.zeros((P, w), dtype=np.int32)
+            for p, a in enumerate(hop):
+                arr[p, : len(a)] = a
+            out.append(arr)
+        return out
+
+    hop_send_up = pack(up_lists)
+    hop_send_dn = pack(dn_lists)
 
     return PartitionedMesh(
         mesh=mesh,
@@ -222,9 +275,14 @@ def partition_mesh(mesh: Mesh, n_parts: int) -> PartitionedMesh:
         halo_lo_src_idx=halo_lo_src_idx,
         halo_hi_src_part=halo_hi_src_part,
         halo_hi_src_idx=halo_hi_src_idx,
-        neighbor_only=neighbor_only,
-        send_up_idx=send_up_idx,
-        send_dn_idx=send_dn_idx,
+        neighbor_only=(R == 1),
+        neighbor_radius=R,
+        hop_send_up=hop_send_up,
+        hop_send_dn=hop_send_dn,
+        halo_lo_hop=halo_lo_hop,
+        halo_lo_pos=halo_lo_pos,
+        halo_hi_hop=halo_hi_hop,
+        halo_hi_pos=halo_hi_pos,
         halo_lo_mask=halo_lo_mask,
         halo_hi_mask=halo_hi_mask,
         local_meshes=local_meshes,

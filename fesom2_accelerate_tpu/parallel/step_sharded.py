@@ -68,22 +68,31 @@ def _halo_fill(x, hmaps, B, H, axis_name="p"):
 
 
 def _halo_fill_nbr(x, smaps, B, H, n_parts, axis_name="p"):
-    """Neighbor-only halo fill: the MPI point-to-point ``exchange_nod``
-    analogue (docs/refactoring.md:200).  Each part packs the owned columns
-    its two stripe neighbors need (precomputed ``send_up/dn_idx``) and the
-    slabs move one hop over ICI via ``ppermute`` — comm volume 2H per part
-    instead of the all-gather's P*B.  Requires PartitionedMesh.neighbor_only
-    (block size >= mesh bandwidth)."""
-    send_up_idx, send_dn_idx, lo_mask, hi_mask = smaps
+    """Packed point-to-point halo fill: the MPI ``exchange_nod`` analogue
+    (docs/refactoring.md:200), generalized to MULTI-HOP neighbor sets.
+
+    Hop ``r`` packs, on every part at once, the owned columns its distance-r
+    neighbors need (precomputed per-hop send lists) and moves one slab per
+    direction via ``ppermute(shift r)``.  Received columns land in the halo
+    via per-column (hop, position) maps.  Comm volume = sum of per-hop slab
+    widths ~ true halo sizes — NOT P*B — for ANY stripe partition, including
+    block size < mesh bandwidth where halos span several parts."""
+    sends_up, sends_dn, lo_hop, lo_pos, hi_hop, hi_pos = smaps
     own = x[..., H:H + B]
-    up = jnp.take(own, send_up_idx, axis=-1)  # [.., H] for part p+1's lo halo
-    dn = jnp.take(own, send_dn_idx, axis=-1)  # [.., H] for part p-1's hi halo
-    fwd = [(p, p + 1) for p in range(n_parts - 1)]
-    bwd = [(p, p - 1) for p in range(1, n_parts)]
-    lo = jax.lax.ppermute(up, axis_name, fwd)  # recv from p-1 (0 at part 0)
-    hi = jax.lax.ppermute(dn, axis_name, bwd)  # recv from p+1 (0 at last)
-    lo = jnp.where(lo_mask, lo, 0)
-    hi = jnp.where(hi_mask, hi, 0)
+    lo = jnp.zeros(x.shape[:-1] + (H,), x.dtype)
+    hi = jnp.zeros(x.shape[:-1] + (H,), x.dtype)
+    R = len(sends_up)
+    for r in range(1, R + 1):
+        up = jnp.take(own, sends_up[r - 1], axis=-1)  # for p+r's lo halo
+        dn = jnp.take(own, sends_dn[r - 1], axis=-1)  # for p-r's hi halo
+        fwd = [(p, p + r) for p in range(n_parts - r)]
+        bwd = [(p, p - r) for p in range(r, n_parts)]
+        rup = jax.lax.ppermute(up, axis_name, fwd)  # recv from p-r
+        rdn = jax.lax.ppermute(dn, axis_name, bwd)  # recv from p+r
+        lo = jnp.where(lo_hop == r,
+                       jnp.take(rup, lo_pos, axis=-1, mode="clip"), lo)
+        hi = jnp.where(hi_hop == r,
+                       jnp.take(rdn, hi_pos, axis=-1, mode="clip"), hi)
     tail = x[..., 2 * H + B:]
     return jnp.concatenate([lo, own, hi, tail], axis=-1)
 
@@ -165,34 +174,43 @@ class ShardedFctAleSolver:
         pm = self.pm
 
         if exchange == "auto":
-            exchange = ("ppermute" if pm.neighbor_only and self.n_parts > 1
-                        else "allgather")
-        if exchange == "ppermute" and not pm.neighbor_only:
-            raise ValueError(
-                "partition is not neighbor-only (a halo crosses more than "
-                "one stripe: block size < mesh bandwidth); use "
-                "exchange='allgather' or reorder the mesh (mesh/ordering.py)"
-            )
+            exchange = "ppermute" if self.n_parts > 1 else "allgather"
         self.exchange_mode = exchange
 
         shard = NamedSharding(self.jax_mesh, P(axis_name))
         self._sharding = shard
+        # single-process: plain device_put.  Multi-process (multi-host): every
+        # process holds the full host-side array (mesh setup is redundant per
+        # process, like each MPI rank building its subdomain) and contributes
+        # only its addressable shards.
+        self._multiproc = any(
+            d.process_index != jax.process_index() for d in devices
+        )
+
+        def put(x):
+            if not self._multiproc:
+                return jax.device_put(x, shard)
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, shard, lambda idx: x[idx]
+            )
+
+        self._put = put
 
         def put_stacked(arrays):
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *arrays)
-            return jax.tree.map(lambda x: jax.device_put(x, shard), stacked)
+            stacked = jax.tree.map(lambda *xs: np.stack(xs), *arrays)
+            return jax.tree.map(put, stacked)
 
         if exchange == "ppermute":
-            emaps = (jnp.asarray(pm.send_up_idx),
-                     jnp.asarray(pm.send_dn_idx),
-                     jnp.asarray(pm.halo_lo_mask),
-                     jnp.asarray(pm.halo_hi_mask))
+            emaps = (tuple(pm.hop_send_up), tuple(pm.hop_send_dn),
+                     pm.halo_lo_hop, pm.halo_lo_pos,
+                     pm.halo_hi_hop, pm.halo_hi_pos)
         else:
             emaps = (jnp.asarray(pm.halo_lo_src_part),
                      jnp.asarray(pm.halo_lo_src_idx),
                      jnp.asarray(pm.halo_hi_src_part),
                      jnp.asarray(pm.halo_hi_src_idx))
-        self._hmaps = jax.device_put(emaps, shard)
+        self._hmaps = jax.tree.map(put, emaps)
         B, H = pm.B, pm.H
         n_parts = self.n_parts
 
@@ -220,7 +238,7 @@ class ShardedFctAleSolver:
                 halo_masks.append(hm)
             # pass A: independent statics; pass B: rebuild under the common
             # (max) static so shard_map sees one program on every device
-            statics = [pstep.build_pallas_data(m, halo_mask=hm)[1]
+            statics = [pstep.build_pallas_data(m, halo_mask=hm, xp=np)[1]
                        for m, hm in zip(pm.local_meshes, halo_masks)]
             common = dataclasses.replace(
                 statics[0],
@@ -237,8 +255,13 @@ class ShardedFctAleSolver:
                 b3h_hi_nblocks=max(s.b3h_hi_nblocks for s in statics),
                 a2_nblocks=max(s.a2_nblocks for s in statics),
                 n_fix_tiles=max(s.n_fix_tiles for s in statics),
+                a3f_un_nblocks=max(s.a3f_un_nblocks for s in statics),
+                # DIA only if every part's offset count fits (one program)
+                a3f_dia_D=(0 if any(s.a3f_dia_D == 0 for s in statics)
+                           else max(s.a3f_dia_D for s in statics)),
             )
-            pds = [pstep.build_pallas_data(m, common=common, halo_mask=hm)[0]
+            pds = [pstep.build_pallas_data(m, common=common, halo_mask=hm,
+                                           xp=np)[0]
                    for m, hm in zip(pm.local_meshes, halo_masks)]
             self.ps = common
             self.md = put_stacked(pds)
@@ -254,7 +277,7 @@ class ShardedFctAleSolver:
                 return jax.tree.map(lambda x: x[None], out)
 
         else:
-            mds = [build_mesh_data(m, dtype=cfg.dtype)
+            mds = [build_mesh_data(m, dtype=cfg.dtype, xp=np)
                    for m in pm.local_meshes]
             self.md = put_stacked(mds)
 
@@ -301,11 +324,15 @@ class ShardedFctAleSolver:
             pad = jax.vmap(functools.partial(self._pstep.pad_state, ps),
                            in_axes=0, out_axes=0)
             out = pad(out)
-        return {
-            k: jax.device_put(v, self._sharding) for k, v in out.items()
-        }
+        return {k: self._put(v) for k, v in out.items()}
 
     def gather_node(self, arr) -> np.ndarray:
+        if self._multiproc:
+            # replicate the sharded result to every process (the host-side
+            # analogue of FESOM's gather for diagnostics)
+            from jax.experimental import multihost_utils
+
+            arr = multihost_utils.process_allgather(arr, tiled=True)
         return part_mod.gather_node_field(self.pm, np.asarray(arr))
 
     # ---- stepping -------------------------------------------------------

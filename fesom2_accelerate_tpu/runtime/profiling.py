@@ -89,3 +89,22 @@ def fct_ale_step_bytes(mesh: Mesh, itemsize: int = 4,
 def grid_points(mesh: Mesh) -> int:
     """Active node-layers per step — the throughput unit of BASELINE.json."""
     return int(np.sum(mesh.nlev_nod - 1))
+
+
+def stress2rhs_bytes(mesh: Mesh, itemsize: int = 4) -> int:
+    """Modeled HBM traffic of one stress2rhs call (the second workload;
+    reference src/reference.cpp:440-480), reference-style accounting:
+
+    per element — 3 stress components, area+ice activity, metric factor,
+    6 shape-function gradients read once (:445-462); the element->node
+    scatter of the 2 (u, v) contributions at 3 corners counted once per
+    incidence like the reference's per-edge models
+    (kernels/fct_ale_b1_horizontal.py:70-89); per node — inv_areamass,
+    rhs_a, rhs_m reads and the U/V writes (:464-476); int32 connectivity."""
+    E, N = mesh.n_elems, mesh.n_nodes
+    f = itemsize
+    b = (3 + 1 + 1 + 6) * E * f  # element inputs
+    b += 2 * 3 * E * f  # u/v contribution per corner incidence
+    b += 5 * N * f  # inv_areamass, rhs_a, rhs_m reads; U, V writes
+    b += 3 * 4 * E  # elem_nodes int32
+    return b

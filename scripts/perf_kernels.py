@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="core2")
-    ap.add_argument("--iters", type=int, default=30)
+    # >= 150 iterations: the tunneled backend costs ~25 ms dispatch+sync
+    # per jitted call; short scans attribute that tax to the kernel
+    ap.add_argument("--iters", type=int, default=200)
     args = ap.parse_args()
 
     import jax
@@ -62,26 +64,26 @@ def main():
             pd.starts_col, pd.ends_col, pd.nlev_edge_row, pd.ne_wb,
             pd.nlev_nod_row, tile=ps.tile, nblocks_lo=ps.ne_lo_nblocks,
             nblocks_hi=ps.ne_hi_nblocks, L=L, dt=dt,
-            flux_eps=float(cfg.flux_eps))
+            flux_eps=float(cfg.flux_eps), chunk=ps.scatter_chunk)
 
-    pm0 = k2(pd, state, tt0)
+    pm0, av0, _ = k2(pd, state, tt0)
 
     def k3(pd, s, pm):
         return kernels.b3h_pallas(
             pm, s["fct_adf_h"], pd.b3h_lidx_lo, pd.b3h_lidx_hi, pd.b3h_wb,
             pd.nlev_edge_row, tile=ps.tile, nblocks_lo=ps.b3h_lo_nblocks,
-            nblocks_hi=ps.b3h_hi_nblocks)
+            nblocks_hi=ps.b3h_hi_nblocks, chunk=ps.chunk)
 
     ah0, _ = k3(pd, state, pm0)
 
-    def k4(pd, s, pm, ah):
+    def k4(pd, s, av, ah):
         return kernels.update_pallas(
-            pm, s["fct_adf_v"], s["ttf"], s["hnode"], s["hnode_new"],
+            av, s["ttf"], s["hnode"], s["hnode_new"],
             s["fct_LO"], s["del_ttf_advvert"], s["del_ttf_advhoriz"],
             pd.area_inv_pad, ah, pd.starts_col, pd.ends_col,
             pd.nlev_edge_row, pd.ne_wb, pd.nlev_nod_row, tile=ps.tile,
             nblocks_lo=ps.ne_lo_nblocks, nblocks_hi=ps.ne_hi_nblocks, L=L,
-            dt=dt, iter_yn=cfg.iter_yn)
+            dt=dt, iter_yn=cfg.iter_yn, chunk=ps.scatter_chunk)
 
     def bench(name, make_scan, n=args.iters):
         jf = jax.jit(make_scan)
@@ -105,7 +107,7 @@ def main():
 
     def scan_k2(pd, s):
         def body(tt, _):
-            pm = k2(pd, s, tt)
+            pm, _, _ = k2(pd, s, tt)
             return tt + eps * pm, None
         out, _ = jax.lax.scan(body, tt0, None, length=args.iters)
         return out
@@ -119,10 +121,11 @@ def main():
         return out
 
     def scan_k4(pd, s):
-        def body(pm, _):
-            av, av2, o1, o2 = k4(pd, s, pm, ah0)
-            return pm + eps * jnp.concatenate([o1, o2]), None
-        out, _ = jax.lax.scan(body, pm0, None, length=args.iters)
+        def body(av, _):
+            o1, o2 = k4(pd, s, av, ah0)
+            return av + eps * jnp.concatenate(
+                [o1, o2])[:av0.shape[0]], None
+        out, _ = jax.lax.scan(body, av0, None, length=args.iters)
         return out
 
     def scan_whole(pd, s):

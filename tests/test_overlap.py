@@ -112,7 +112,8 @@ def test_pre_exchange_kernels_independent(traced_sharded_pallas_step):
     """K1, K2 (incl. fused b3v — the reference's inter_comm overlap) run
     before/independent of the collective."""
     deps = _pallas_deps(traced_sharded_pallas_step)
-    for k in ("fct_bounds", "fct_limit"):
+    k1 = "fct_bounds_dia" if "fct_bounds_dia" in deps else "fct_bounds"
+    for k in (k1, "fct_limit"):
         assert deps.get(k) == [False], (k, deps.get(k))
 
 

@@ -81,3 +81,36 @@ def test_pallas_step_vlimit23(vlimit):
               "fct_adf_h", "del_ttf_advvert", "del_ttf_advhoriz"):
         err = _relerr(out[k], ref[k])
         assert err < 2e-5, f"{k}: relerr {err:.2e} (vlimit={vlimit})"
+
+
+@pytest.mark.parametrize("vlimit", [1, 2, 3])
+def test_bounds_dia_matches_onehot(vlimit):
+    """The DIA (masked lane-shift) form of K1 must agree BIT-EXACTLY with
+    the one-hot contraction form: both are pure selections + max/min."""
+    from fesom2_accelerate_tpu.ops.pallas import kernels
+
+    mesh = generate_planar_mesh(preset="small")
+    pd, ps = build_pallas_data(mesh)
+    assert ps.a3f_dia_D > 0, "structured preset must admit the DIA form"
+    fields = random_fields(mesh, seed=5, dtype=np.float32)
+    Lp = ps.Lp
+    lo = np.zeros((Lp, ps.Np), np.float32)
+    tt = np.zeros((Lp, ps.Np), np.float32)
+    lo[:ps.L, :ps.N] = fields["fct_LO"]
+    tt[:ps.L, :ps.N] = fields["ttf"]
+    lo, tt = jnp.asarray(lo), jnp.asarray(tt)
+    with pltpu.force_tpu_interpret_mode():
+        ref = kernels.bounds_pallas(
+            lo, tt, pd.a3f_lidx_lo, pd.a3f_lev_lo, pd.a3f_lidx_hi,
+            pd.a3f_lev_hi, pd.a3f_wb, pd.nlev_nod_row, tile=ps.tile,
+            nblocks_lo=ps.a3f_lo_nblocks, nblocks_hi=ps.a3f_hi_nblocks,
+            K_lo=ps.K_lo, K_hi=ps.K_hi, vlimit=vlimit, chunk=ps.chunk,
+        )
+        dia = kernels.bounds_dia_pallas(
+            lo, tt, pd.a3f_dia_wb, pd.a3f_dia_lev, pd.nlev_nod_row,
+            tile=ps.tile, nblocks=ps.a3f_un_nblocks, D=ps.a3f_dia_D,
+            vlimit=vlimit,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(dia[:, :ps.N]), np.asarray(ref[:, :ps.N])
+    )

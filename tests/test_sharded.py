@@ -48,26 +48,88 @@ def test_partition_covers_mesh(setup):
             assert pm.local_nodes_global[src, H + idx] == gid
 
 
+def _simulate_hop_exchange(pm, field):
+    """Numpy re-enactment of step_sharded._halo_fill_nbr on a global node
+    field: pack per-hop send slabs, shift them r parts, land via the
+    (hop, pos) maps.  Returns the per-part halo columns it reconstructs."""
+    P, H, B = pm.n_parts, pm.H, pm.B
+    own = np.zeros((P, B), field.dtype)
+    for p in range(P):
+        no = pm.owned_count[p]
+        own[p, :no] = field[pm.local_nodes_global[p, H:H + no]]
+    lo = np.zeros((P, H), field.dtype)
+    hi = np.zeros((P, H), field.dtype)
+    for r in range(1, pm.neighbor_radius + 1):
+        up = own[np.arange(P)[:, None], pm.hop_send_up[r - 1]]
+        dn = own[np.arange(P)[:, None], pm.hop_send_dn[r - 1]]
+        rup = np.zeros_like(up)
+        rup[r:] = up[:-r]  # recv from p-r
+        rdn = np.zeros_like(dn)
+        rdn[:-r] = dn[r:]  # recv from p+r
+        sel = pm.halo_lo_hop == r
+        lo[sel] = rup[np.arange(P)[:, None],
+                      np.minimum(pm.halo_lo_pos, up.shape[1] - 1)][sel]
+        sel = pm.halo_hi_hop == r
+        hi[sel] = rdn[np.arange(P)[:, None],
+                      np.minimum(pm.halo_hi_pos, dn.shape[1] - 1)][sel]
+    return lo, hi
+
+
+def _check_hop_exchange(mesh, n_parts, expect_radius=None):
+    pm = partition_mesh(mesh, n_parts)
+    if expect_radius is not None:
+        assert pm.neighbor_radius >= expect_radius, pm.neighbor_radius
+    rng = np.random.default_rng(3)
+    field = rng.standard_normal(mesh.n_nodes)
+    lo, hi = _simulate_hop_exchange(pm, field)
+    H, B = pm.H, pm.B
+    for p in range(pm.n_parts):
+        h1, h2 = pm.halo_lo_count[p], pm.halo_hi_count[p]
+        want_lo = field[pm.local_nodes_global[p, H - h1:H]]
+        np.testing.assert_array_equal(lo[p, H - h1:], want_lo)
+        want_hi = field[pm.local_nodes_global[p, H + B:H + B + h2]]
+        np.testing.assert_array_equal(hi[p, :h2], want_hi)
+        assert pm.halo_lo_mask[p].sum() == h1
+        assert pm.halo_hi_mask[p].sum() == h2
+    # comm volume ~ halo, not P*B: per-hop slab widths sum to O(H)
+    total_w = sum(a.shape[1] for a in pm.hop_send_up + pm.hop_send_dn)
+    assert total_w <= 2 * pm.H + 2 * pm.neighbor_radius
+
+
 def test_partition_neighbor_send_lists(setup):
-    """The packed ppermute send lists reproduce each neighbor's halo."""
+    """Hop-1 packed ppermute send lists reproduce each neighbor's halo."""
     mesh, _ = setup
     pm = partition_mesh(mesh, 8)
-    assert pm.neighbor_only
-    H, B = pm.H, pm.B
-    for p in range(pm.n_parts - 1):
-        h = pm.halo_lo_count[p + 1]
-        sent = pm.local_nodes_global[p, H + pm.send_up_idx[p, H - h:]]
-        want = pm.local_nodes_global[p + 1, H - h:H]
-        np.testing.assert_array_equal(sent, want)
-    for p in range(1, pm.n_parts):
-        h = pm.halo_hi_count[p - 1]
-        sent = pm.local_nodes_global[p, H + pm.send_dn_idx[p, :h]]
-        want = pm.local_nodes_global[p - 1, H + B:H + B + h]
-        np.testing.assert_array_equal(sent, want)
-    # masks mark exactly the populated halo columns
-    for p in range(pm.n_parts):
-        assert pm.halo_lo_mask[p].sum() == pm.halo_lo_count[p]
-        assert pm.halo_hi_mask[p].sum() == pm.halo_hi_count[p]
+    assert pm.neighbor_only and pm.neighbor_radius == 1
+    _check_hop_exchange(mesh, 8)
+
+
+def test_partition_multihop_send_lists():
+    """Block size < mesh bandwidth: halos span several stripes and the
+    exchange needs radius > 1 — the packed multi-hop path must still
+    reconstruct every halo column exactly, with comm ~ halo (the failure
+    mode the round-1 all-gather fallback degraded to P*B on)."""
+    mesh = generate_planar_mesh(nx=4, ny=7, nl=5)
+    _check_hop_exchange(mesh, 8, expect_radius=2)
+
+
+def test_sharded_multihop_matches_single():
+    """End-to-end sharded step over a radius>1 partition (block size <
+    bandwidth) is exact vs the single-device solver — the per-neighbor
+    packed exchange path, not the all-gather fallback."""
+    mesh = generate_planar_mesh(nx=4, ny=7, nl=5)
+    fields = random_fields(mesh, seed=2)
+    cfg = FctAleConfig(dt=0.7, dtype=jnp.float64)
+    ref_solver = FctAleSolver(mesh, cfg)
+    ref_out = ref_solver.step(ref_solver.init_state(fields))
+
+    sh = ShardedFctAleSolver(mesh, cfg, exchange="ppermute")
+    assert sh.pm.neighbor_radius >= 2
+    out = sh.step(sh.init_state(fields))
+    for k in ("fct_plus", "fct_minus", "del_ttf_advvert",
+              "del_ttf_advhoriz"):
+        masked_allclose(sh.gather_node(out[k]), np.asarray(ref_out[k]),
+                        msg=k)
 
 
 def test_scatter_gather_roundtrip(setup):
