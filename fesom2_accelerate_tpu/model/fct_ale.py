@@ -155,8 +155,10 @@ class FctAleSolver:
                 return pstep.fct_ale_step_pallas_padded(mesh_arg, ps, c,
                                                         state)
 
-            self._scan_pre = functools.partial(pstep.pad_state, ps)
-            self._scan_post = functools.partial(pstep.unpad_state, ps)
+            # pad/unpad take the mesh arg too: the packed edge layout's
+            # edge<->slot maps live in PallasData (step.pad_state)
+            self._scan_pre = lambda m, s: pstep.pad_state(ps, s, m)
+            self._scan_post = lambda m, s: pstep.unpad_state(ps, s, m)
             self._scan_step_fn = scan_step_fn
         else:
             self.md = build_mesh_data(mesh, dtype=cfg.dtype)
@@ -166,7 +168,7 @@ class FctAleSolver:
             def step_fn(mesh_arg, state):
                 return fct_ale_step(mesh_arg, c, state)
 
-            self._scan_pre = self._scan_post = lambda s: s
+            self._scan_pre = self._scan_post = lambda m, s: s
             self._scan_step_fn = step_fn
 
         self._step_fn = step_fn
@@ -193,7 +195,7 @@ class FctAleSolver:
 
             @jax.jit
             def scan_steps(mesh_arg, s):
-                s = pre(s)
+                s = pre(mesh_arg, s)
 
                 def body(c, _):
                     new = step_fn(mesh_arg, c)
@@ -201,7 +203,7 @@ class FctAleSolver:
                     return {k: new[k] for k in c}, None
 
                 s, _ = jax.lax.scan(body, s, None, length=n_steps)
-                return post(s)
+                return post(mesh_arg, s)
 
             self._scan_cache[n_steps] = scan_steps
         return self._scan_cache[n_steps](self._mesh_arg, state)

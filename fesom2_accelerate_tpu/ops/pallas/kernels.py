@@ -407,7 +407,12 @@ def _bounds_dia_kernel(wb_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref, *refs,
         q = wb_ref[i, 1 + d]
         rem = wb_ref[i, 1 + D + d]
         seg = scr[:, pl.ds(pl.multiple_of(q * BLOCK, BLOCK), TN + BLOCK)]
-        r = pltpu.roll(seg, -rem, axis=1)[:, :TN]
+        # left-shift by rem expressed as a POSITIVE roll: Mosaic's dynamic
+        # roll silently miscompiles negative shifts on real TPUs (interpret
+        # mode wraps them, hiding the bug — caught by the on-chip parity
+        # probe); pltpu.roll also rejects negative static shifts
+        sh = jnp.where(rem > 0, TN + BLOCK - rem, 0)
+        r = pltpu.roll(seg, sh, axis=1)[:, :TN]
         # per-(node, d) level bound of the connecting edge; 0 = no neighbor
         # at this offset (also masks out-of-window garbage lanes)
         m = z < lev_all[d:d + 1]

@@ -1,0 +1,481 @@
+"""Pallas TPU kernels for the PACKED (home-slot DIA) edge layout.
+
+Same FCT-ALE stages as kernels.py's K2/K3/K4 (reference
+kernels/fct_ale_b1_horizontal.cu, fct_ale_b2.cu, fct_ale_b3_*.cu,
+fct_ale_c_*.cu) but with edge fields living as K stacked ``[Lp, Np]`` slabs
+homed at each edge's first endpoint (ops/pallas/packed.py):
+
+* edge->n0 scatter / n0 gather: **aligned** slab reads — free;
+* edge->n1 scatter / n1 gather: one masked dynamic lane shift per
+  (slot, offset) pair — pure VPU, no one-hot contraction, no MXU.
+
+Shift machinery is identical to kernels.bounds_dia_pallas: the window slab is
+staged through VMEM scratch, each pair reads a ``[rows, tile+BLOCK]`` segment
+at a 128-aligned block offset ``q`` and rolls by the lane residue ``rem``
+(both scalar-prefetched per tile).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fesom2_accelerate_tpu.ops.pallas.plan import BLOCK
+from fesom2_accelerate_tpu.ops.pallas.kernels import (
+    _COMPILER_PARAMS,
+    _concat,
+    _row_iota,
+    _tile_spec,
+    _vertical_shift_rows,
+    _win_specs,
+)
+
+
+def _stage_window(scr, refs, J, rows):
+    """Concatenate J window-block refs into scratch, mirroring the leading
+    tile-width columns at the end so mod-W wrapped shifts (packed.py: pairs
+    whose offset exceeds the tile's position) read in-bounds — the wrapped
+    lanes carry no edge and are masked (same trick as bounds_dia_pallas)."""
+    W = J * BLOCK
+    w = _concat(refs[:J])
+    m = scr.shape[1] - W
+    reps = -(-m // W)
+    wrap = (jnp.concatenate([w] * reps, axis=1) if reps > 1 else w)[:, :m]
+    scr[:, :W] = w
+    scr[:, W:] = wrap
+    return W
+
+
+def _aligned(scr, rows_lo, rows_hi, a0, TN):
+    """Read the home-aligned [rows, TN] tile from the scratch window."""
+    return scr[rows_lo:rows_hi, pl.ds(pl.multiple_of(a0, BLOCK), TN)]
+
+
+def _pair_shift(scr, rows_lo, rows_hi, wb_ref, i, P, p, TN):
+    """Read pair p's lane-shifted [rows, TN] segment from the window.
+
+    Left-shift by ``rem`` expressed as a POSITIVE roll of ``width - rem``:
+    Mosaic's dynamic roll silently miscompiles negative shifts on real TPUs
+    (interpret mode wraps them, hiding the bug)."""
+    q = wb_ref[i, 1 + p]
+    rem = wb_ref[i, 1 + P + p]
+    seg = scr[rows_lo:rows_hi,
+              pl.ds(pl.multiple_of(q * BLOCK, BLOCK), TN + BLOCK)]
+    sh = jnp.where(rem > 0, TN + BLOCK - rem, 0)
+    return pltpu.roll(seg, sh, axis=1)[:, :TN]
+
+
+def _scatter_packed(scr, wb_ref, levh_ref, sclev_ref, i, a0, z, TN, Lp, K,
+                    Pk, split_pm: bool):
+    """Accumulate the edge->node sum from the packed flux window.
+
+    Home side: +F per slot, aligned.  Other (n1) side: -F per (slot, offset)
+    pair, lane-shifted.  split_pm=True returns (plus, minus) flux splits
+    (b1-horizontal, reference kernels/fct_ale_b1_horizontal.cu:24-27);
+    False returns the signed sum (c-horizontal,
+    kernels/fct_ale_c_horizontal.cu:25-26)."""
+    P = sum(Pk)
+    sclev = sclev_ref[0]  # [P, TN]
+    acc_p = jnp.zeros((Lp, TN), jnp.float32)
+    acc_m = jnp.zeros((Lp, TN), jnp.float32)
+
+    def add(F, lev):
+        nonlocal acc_p, acc_m
+        Fm = jnp.where(z < lev, F, 0.0)
+        if split_pm:
+            acc_p = acc_p + jnp.maximum(Fm, 0.0)
+            acc_m = acc_m + jnp.minimum(Fm, 0.0)
+        else:
+            acc_p = acc_p + Fm
+
+    p = 0
+    for k in range(K):
+        add(_aligned(scr, k * Lp, (k + 1) * Lp, a0, TN), levh_ref[k:k + 1])
+        for _ in range(Pk[k]):
+            F = _pair_shift(scr, k * Lp, (k + 1) * Lp, wb_ref, i, P, p, TN)
+            add(-F, sclev[p:p + 1])
+            p += 1
+    return (acc_p, acc_m) if split_pm else acc_p
+
+
+# --------------------------------------------------------------------------
+# K2 limit (packed): b1v + b1h scatter + b2 + b3v — the packed counterpart
+# of kernels._limit_kernel.
+# --------------------------------------------------------------------------
+
+
+def _limit_packed_kernel(wb_ref, av_ref, tt_ref, ainv_ref, nlevn_ref,
+                         levh_ref, sclev_ref, *refs,
+                         Lp, Lpv, L, TN, K, Pk, J, dt, eps, iter_yn):
+    out_ref, av_out_ref = refs[J], refs[J + 1]
+    av2_ref = refs[J + 2] if iter_yn else None
+    scr = refs[-1]
+    _stage_window(scr, refs, J, K * Lp)
+    i = pl.program_id(0)
+    a0 = i * TN - wb_ref[i, 0] * BLOCK
+    z = _row_iota((Lp, TN))
+
+    # b1 vertical (kernels/fct_ale_b1_vertical.cu:13-14)
+    av = av_ref[:]
+    up = av[:Lp]
+    if Lpv >= Lp + 1:
+        dn = av[1:Lp + 1]
+    else:
+        dn = jnp.concatenate(
+            [av[1:Lpv], jnp.zeros((Lp + 1 - Lpv, TN), jnp.float32)], axis=0
+        )
+    plus = jnp.maximum(0.0, up) + jnp.maximum(0.0, -dn)
+    minus = jnp.minimum(0.0, up) + jnp.minimum(0.0, -dn)
+
+    # b1 horizontal: packed scatter
+    gp, gm = _scatter_packed(scr, wb_ref, levh_ref, sclev_ref, i, a0, z, TN,
+                             Lp, K, Pk, split_pm=True)
+    plus = plus + gp
+    minus = minus + gm
+
+    # b2 (kernels/fct_ale_b2.cu:10-11)
+    nlev = nlevn_ref[:]
+    active = z < (nlev - 1)
+    tt = tt_ref[:]
+    ainv = ainv_ref[:]
+    fplus = plus * dt * ainv + eps
+    fminus = minus * dt * ainv - eps
+    fp = jnp.where(active, jnp.minimum(1.0, tt[:Lp] / fplus), 0.0)
+    fm = jnp.where(active, jnp.minimum(1.0, tt[Lp:] / fminus), 0.0)
+    out_ref[:Lp] = fp
+    out_ref[Lp:] = fm
+
+    # b3 vertical (kernels/fct_ale_b3_vertical.cu:17-45)
+    fp_m1, _ = _vertical_shift_rows(fp, Lp, 1.0, 0.0)
+    fm_m1, _ = _vertical_shift_rows(fm, Lp, 1.0, 0.0)
+    flux = up
+    ae_pos = jnp.minimum(1.0, jnp.minimum(fm_m1, fp))
+    ae_neg = jnp.minimum(1.0, jnp.minimum(fp_m1, fm))
+    ae = jnp.where(flux >= 0.0, ae_pos, ae_neg)
+    vact = (z < nlev) & (z < L)
+    av_lim = jnp.where(vact, ae * flux, flux)
+    if Lpv > Lp:
+        av_out = jnp.concatenate([av_lim, av[Lp:]], axis=0)
+    else:
+        av_out = av_lim
+    av_out_ref[:] = av_out
+    if iter_yn:
+        resid = jnp.where(vact & (z >= 1), (1.0 - ae) * flux, 0.0)
+        if Lpv > Lp:
+            resid = jnp.concatenate(
+                [resid, jnp.zeros((Lpv - Lp, TN), jnp.float32)], axis=0
+            )
+        av2_ref[:] = resid
+
+
+def limit_packed_pallas(adf_v_pad, tt_stacked, area_inv_pad, F_packed,
+                        lev_home, sc_lev, sc_wb, nlev_nod_row, *, tile, J,
+                        K, Pk, L, dt, flux_eps, iter_yn=False):
+    """Packed K2 -> (limiter factors [2Lp, Np], limited adf_v [Lpv, Np],
+    adf_v residual [Lpv, Np] — iterative mode only, else omitted)."""
+    Lp2, Np = tt_stacked.shape
+    Lp = Lp2 // 2
+    Lpv = adf_v_pad.shape[0]
+    TN = tile
+    T = Np // TN
+    P = sum(Pk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            _tile_spec((Lpv, TN)),
+            _tile_spec((Lp2, TN)),
+            _tile_spec((Lp, TN)),
+            _tile_spec((1, TN)),
+            _tile_spec((K, TN)),
+            pl.BlockSpec((1, max(P, 1), TN), lambda i, wb: (i, 0, 0)),
+            *_win_specs(K * Lp, J, 0),
+        ],
+        out_specs=(
+            (_tile_spec((Lp2, TN)), _tile_spec((Lpv, TN)),
+             _tile_spec((Lpv, TN))) if iter_yn else
+            (_tile_spec((Lp2, TN)), _tile_spec((Lpv, TN)))
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((K * Lp, J * BLOCK + tile + BLOCK), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_limit_packed_kernel, Lp=Lp, Lpv=Lpv, L=L,
+                               TN=TN, K=K, Pk=Pk, J=J, dt=dt, eps=flux_eps,
+                               iter_yn=iter_yn)
+    out_shape = (
+        jax.ShapeDtypeStruct((Lp2, Np), jnp.float32),
+        jax.ShapeDtypeStruct((Lpv, Np), jnp.float32),
+    )
+    if iter_yn:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((Lpv, Np), jnp.float32),)
+    return pl.pallas_call(
+        kernel,
+        name="fct_limit_packed",
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        out_shape=out_shape,
+    )(sc_wb, adf_v_pad, tt_stacked, area_inv_pad, nlev_nod_row, lev_home,
+      sc_lev, *([F_packed] * J))
+
+
+# --------------------------------------------------------------------------
+# K3 b3-horizontal (packed): limit each packed edge flux by its endpoint
+# limiter factors (kernels/fct_ale_b3_horizontal.cu:28-39).  n0 factors are
+# the aligned pm tile; n1 factors are pair-shifted and selected per slot by
+# the 0/1 indicator (exactly one pair matches each existing edge).
+# --------------------------------------------------------------------------
+
+
+def _b3h_packed_compute(wb_ref, levh_ref, gind_ref, F_ref, out_ref,
+                        resid_ref, scr, i, Lp, TN, K, Pk, with_resid):
+    P = sum(Pk)
+    gind = gind_ref[0]  # [P, TN]
+    a0 = i * TN - wb_ref[i, 0] * BLOCK
+    home = _aligned(scr, 0, 2 * Lp, a0, TN)
+    p1, m1 = home[:Lp], home[Lp:]
+    z = _row_iota((Lp, TN))
+    p = 0
+    for k in range(K):
+        oth = jnp.zeros((2 * Lp, TN), jnp.float32)
+        for _ in range(Pk[k]):
+            r = _pair_shift(scr, 0, 2 * Lp, wb_ref, i, P, p, TN)
+            oth = jnp.where(gind[p:p + 1] > 0, oth + r, oth)
+            p += 1
+        p2, m2 = oth[:Lp], oth[Lp:]
+        F = F_ref[k * Lp:(k + 1) * Lp]
+        ae_pos = jnp.minimum(1.0, jnp.minimum(p1, m2))
+        ae_neg = jnp.minimum(1.0, jnp.minimum(m1, p2))
+        ae = jnp.where(F >= 0.0, ae_pos, ae_neg)
+        emask = z < levh_ref[k:k + 1]
+        out_ref[k * Lp:(k + 1) * Lp] = jnp.where(emask, ae * F, F)
+        if with_resid:
+            resid_ref[k * Lp:(k + 1) * Lp] = jnp.where(
+                emask, (1.0 - ae) * F, 0.0)
+
+
+def _b3h_packed_kernel(wb_ref, levh_ref, gind_ref, F_ref, *refs,
+                       Lp, TN, K, Pk, J, with_resid):
+    out_ref = refs[J]
+    resid_ref = refs[J + 1] if with_resid else None
+    scr = refs[-1]
+    _stage_window(scr, refs, J, 2 * Lp)
+    _b3h_packed_compute(wb_ref, levh_ref, gind_ref, F_ref, out_ref,
+                        resid_ref, scr, pl.program_id(0), Lp, TN, K, Pk,
+                        with_resid)
+
+
+def b3h_packed_pallas(pm_stacked, F_packed, lev_home, g_ind, g_wb, *, tile,
+                      J, K, Pk, with_resid=True):
+    """Packed K3 -> (limited F [K*Lp, Np][, residual (1-ae)*F])."""
+    Lp2, Np = pm_stacked.shape
+    Lp = Lp2 // 2
+    TN = tile
+    T = Np // TN
+    P = sum(Pk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            _tile_spec((K, TN)),
+            pl.BlockSpec((1, max(P, 1), TN), lambda i, wb: (i, 0, 0)),
+            _tile_spec((K * Lp, TN)),
+            *_win_specs(Lp2, J, 0),
+        ],
+        out_specs=(
+            (_tile_spec((K * Lp, TN)), _tile_spec((K * Lp, TN)))
+            if with_resid else (_tile_spec((K * Lp, TN)),)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Lp2, J * BLOCK + tile + BLOCK), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_b3h_packed_kernel, Lp=Lp, TN=TN, K=K, Pk=Pk,
+                               J=J, with_resid=with_resid)
+    out_shape = (jax.ShapeDtypeStruct((K * Lp, Np), jnp.float32),)
+    if with_resid:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((K * Lp, Np), jnp.float32),)
+    out = pl.pallas_call(
+        kernel,
+        name="fct_b3h_packed",
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        out_shape=out_shape,
+    )(g_wb, lev_home, g_ind, F_packed, *([pm_stacked] * J))
+    return out if with_resid else (out[0], None)
+
+
+def b3h_packed_fixup_pallas(pm_stacked, F_packed, out_prev, resid_prev,
+                            lev_home, g_ind, g_wb, tile_ids, *, tile, J, K,
+                            Pk, with_resid=True):
+    """Recompute packed b3h on the BOUNDARY node tiles only, in place
+    (the post-exchange fixup; see kernels.b3h_fixup_pallas)."""
+    Lp2, Np = pm_stacked.shape
+    Lp = Lp2 // 2
+    TN = tile
+    F = tile_ids.shape[0]
+    P = sum(Pk)
+
+    def _win_ids(rows, J):
+        return [pl.BlockSpec(
+            (rows, BLOCK), lambda i, wb, ids, j=j: (0, wb[ids[i], 0] + j)
+        ) for j in range(J)]
+
+    def _tile_ids(shape):
+        return pl.BlockSpec(shape, lambda i, wb, ids: (0, ids[i]))
+
+    in_specs = [
+        _tile_ids((K, TN)),
+        pl.BlockSpec((1, max(P, 1), TN), lambda i, wb, ids: (ids[i], 0, 0)),
+        _tile_ids((K * Lp, TN)),
+        *_win_ids(Lp2, J),
+        _tile_ids((K * Lp, TN)),
+    ]
+    out_specs = [_tile_ids((K * Lp, TN))]
+    if with_resid:
+        in_specs.append(_tile_ids((K * Lp, TN)))
+        out_specs.append(_tile_ids((K * Lp, TN)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(F,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((Lp2, J * BLOCK + tile + BLOCK), jnp.float32),
+        ],
+    )
+
+    def kernel(wb_ref, ids_ref, levh_ref, gind_ref, F_ref, *refs):
+        out_ref = refs[J + (2 if with_resid else 1)]
+        resid_ref = refs[J + 3] if with_resid else None
+        scr = refs[-1]
+        _stage_window(scr, refs, J, 2 * Lp)
+        i = ids_ref[pl.program_id(0)]
+        _b3h_packed_compute(wb_ref, levh_ref, gind_ref, F_ref, out_ref,
+                            resid_ref, scr, i, Lp, TN, K, Pk, with_resid)
+
+    n_in = 2 + 3 + J  # scalar prefetch + fixed + windows
+    aliases = {n_in: 0}
+    if with_resid:
+        aliases[n_in + 1] = 1
+    args = [g_wb, tile_ids, lev_home, g_ind, F_packed,
+            *([pm_stacked] * J), out_prev]
+    out_shape = (jax.ShapeDtypeStruct(out_prev.shape, jnp.float32),)
+    if with_resid:
+        args.append(resid_prev)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct(resid_prev.shape, jnp.float32),)
+    out = pl.pallas_call(
+        kernel,
+        name="fct_b3h_packed_fixup",
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+    )(*args)
+    return out if with_resid else (out[0], None)
+
+
+# --------------------------------------------------------------------------
+# K4 update (packed): signed c-horizontal edge sum + stage-c solution /
+# iterative-LO update — the packed counterpart of kernels._update_kernel.
+# --------------------------------------------------------------------------
+
+
+def _update_packed_kernel(wb_ref, avl_ref, ttf_ref, hn_ref, hnn_ref, lo_ref,
+                          dvin_ref, dhin_ref, ainv_ref, nlevn_ref, levh_ref,
+                          sclev_ref, *refs,
+                          Lp, Lpv, L, TN, K, Pk, J, dt, iter_yn):
+    o1_ref, o2_ref = refs[J], refs[J + 1]
+    scr = refs[-1]
+    _stage_window(scr, refs, J, K * Lp)
+    i = pl.program_id(0)
+    a0 = i * TN - wb_ref[i, 0] * BLOCK
+    z = _row_iota((Lp, TN))
+
+    acc = _scatter_packed(scr, wb_ref, levh_ref, sclev_ref, i, a0, z, TN,
+                          Lp, K, Pk, split_pm=False)
+
+    av_out = avl_ref[:]
+    av_lim = av_out[:Lp]
+    if Lpv >= Lp + 1:
+        dn_lim = av_out[1:Lp + 1]
+    else:
+        dn_lim = jnp.concatenate(
+            [av_out[1:Lpv], jnp.zeros((Lp + 1 - Lpv, TN), jnp.float32)],
+            axis=0,
+        )
+    ainv = ainv_ref[:]
+    ddiv = (av_lim - dn_lim) * dt * ainv
+    dh = acc * dt * ainv
+    nlev = nlevn_ref[:]
+    active = z < (nlev - 1)
+    lo = lo_ref[:]
+    if iter_yn:
+        hnn = hnn_ref[:]
+        new_lo = jnp.where(active, lo + ddiv / hnn, lo) + dh / hnn
+        o1_ref[:] = new_lo
+        o2_ref[:] = jnp.zeros((Lp, TN), jnp.float32)
+    else:
+        dv = -ttf_ref[:] * hn_ref[:] + lo * hnn_ref[:] + ddiv
+        o1_ref[:] = jnp.where(active, dvin_ref[:] + dv, dvin_ref[:])
+        o2_ref[:] = dhin_ref[:] + dh
+
+
+def update_packed_pallas(adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad,
+                         fct_LO_pad, del_v_pad, del_h_pad, area_inv_pad,
+                         F_lim_packed, lev_home, sc_lev, sc_wb, nlev_nod_row,
+                         *, tile, J, K, Pk, L, dt, iter_yn):
+    """Packed K4 -> (o1, o2); see kernels.update_pallas."""
+    Lpv, Np = adf_v_lim_pad.shape
+    Lp = area_inv_pad.shape[0]
+    TN = tile
+    T = Np // TN
+    P = sum(Pk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            _tile_spec((Lpv, TN)),
+            _tile_spec((Lp, TN)),
+            _tile_spec((Lp, TN)),
+            _tile_spec((Lp, TN)),
+            _tile_spec((Lp, TN)),
+            _tile_spec((Lp, TN)),
+            _tile_spec((Lp, TN)),
+            _tile_spec((Lp, TN)),
+            _tile_spec((1, TN)),
+            _tile_spec((K, TN)),
+            pl.BlockSpec((1, max(P, 1), TN), lambda i, wb: (i, 0, 0)),
+            *_win_specs(K * Lp, J, 0),
+        ],
+        out_specs=(
+            _tile_spec((Lp, TN)),
+            _tile_spec((Lp, TN)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((K * Lp, J * BLOCK + tile + BLOCK), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_update_packed_kernel, Lp=Lp, Lpv=Lpv, L=L,
+                               TN=TN, K=K, Pk=Pk, J=J, dt=dt,
+                               iter_yn=iter_yn)
+    return pl.pallas_call(
+        kernel,
+        name="fct_update_packed",
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        out_shape=(
+            jax.ShapeDtypeStruct((Lp, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Np), jnp.float32),
+        ),
+    )(sc_wb, adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad, fct_LO_pad,
+      del_v_pad, del_h_pad, area_inv_pad, nlev_nod_row, lev_home, sc_lev,
+      *([F_lim_packed] * J))

@@ -1,0 +1,209 @@
+"""Host-side planning for the PACKED (home-slot DIA) edge layout.
+
+The one-hot MXU contraction (kernels.py) is the general TPU answer to the
+reference's atomic edge->node scatter (kernels/fct_ale_b1_horizontal.cu:24-27)
+and per-edge endpoint gathers (kernels/fct_ale_b3_horizontal.cu:28-39), but on
+a bandwidth-ordered mesh a far cheaper form exists — the edge-space analogue
+of the K1 DIA trick (kernels.bounds_dia_pallas):
+
+* every edge is **homed** at its first endpoint ``n0`` (canonical orientation,
+  mesh/topology.py) in one of K **slots**, so edge fields live as K stacked
+  ``[Lp, Np]`` slabs ("packed" layout) instead of one ``[Lp, Edp]`` edge-major
+  array;
+* the edge->n0 scatter and the n0-endpoint gather become **aligned slab
+  reads** — zero contraction work;
+* the n1 side is reached through the per-tile set of distinct offsets
+  ``d = n1 - n0``: each (slot, offset) pair is one masked dynamic **lane
+  shift** of a VMEM window — pure VPU work, linear in the pair count.
+
+The pair count is the admissibility gate: structured/bandwidth-ordered meshes
+have ~2-3 offsets per slot (sum <= 8 per tile on the planar presets), while
+e.g. an RCM-ordered cylinder reaches hundreds — those meshes keep the one-hot
+kernels (the same fallback pattern as ``dia_max`` for K1).
+
+Pair layout is **slot-major and static**: per-slot pair counts ``Pk`` are part
+of the compile-time static, so kernels address slot slabs with static row
+slices; the per-tile (window block, per-pair q/rem lane shift) live in a
+scalar-prefetch array, and per-(pair, node) edge level bounds / indicators in
+a ``[T, P, tile]`` tensor (level bound 0 / indicator 0 = no edge: the pair
+contributes nothing at that node).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from fesom2_accelerate_tpu.ops.pallas.plan import BLOCK
+
+
+@dataclasses.dataclass
+class PackedPlan:
+    """Numpy planning product for the packed edge kernels (K2/K3/K4)."""
+
+    K: int  # home slots (max out-degree under canonical orientation)
+    Pk_s: tuple  # per-slot scatter pair counts (static)
+    Pk_g: tuple  # per-slot gather pair counts (static)
+    J_sc: int  # window blocks for the scatter direction (K2/K4: F windows)
+    J_g: int  # window blocks for the gather direction (K3: pm window)
+
+    lev_home: np.ndarray  # [K, Np] int32 nlev_edge at (slot, home); 0 absent
+    einv: np.ndarray  # [K, Np] int32 edge id at (slot, home); -1 absent
+    eslot: np.ndarray  # [Ed] int32 slot of each edge
+
+    sc_wb: np.ndarray  # [T, 1 + 2*P_s] int32: win_block, q_p..., rem_p...
+    sc_lev: np.ndarray  # [T, P_s, tile] int32 signed edge level bound
+    g_wb: np.ndarray  # [T, 1 + 2*P_g] int32
+    g_ind: np.ndarray  # [T, P_g, tile] int32 0/1 pair-selection indicator
+
+
+def _slot_assign(edges: np.ndarray, n_nodes: int):
+    """Canonical home-slot assignment: home = n0, slots ordered by offset
+    d = n1 - n0 (deterministic, offset-regular on structured meshes)."""
+    Ed = edges.shape[0]
+    d = edges[:, 1] - edges[:, 0]
+    order = np.lexsort((d, edges[:, 0]))
+    cnt = np.bincount(edges[:, 0], minlength=n_nodes)
+    offs = np.zeros(n_nodes + 1, dtype=np.int64)
+    np.cumsum(cnt, out=offs[1:])
+    slot = np.empty(Ed, dtype=np.int32)
+    slot[order] = (np.arange(Ed) - offs[edges[order, 0]]).astype(np.int32)
+    return slot, int(cnt.max()) if Ed else 1
+
+
+def _pair_sets(key_tile: np.ndarray, slot: np.ndarray, d: np.ndarray,
+               T: int, K: int):
+    """Distinct offsets per (tile, slot) -> (list-of-dicts pairs[t][k] =
+    sorted offsets, per-slot max counts)."""
+    pairs = [[[] for _ in range(K)] for _ in range(T)]
+    key = (key_tile.astype(np.int64) * K + slot) * (2 ** 31) + d
+    uniq = np.unique(key)
+    ut = uniq // (2 ** 31) // K
+    uk = (uniq // (2 ** 31)) % K
+    ud = uniq % (2 ** 31)
+    for t, k, dv in zip(ut, uk, ud):
+        pairs[int(t)][int(k)].append(int(dv))
+    Pk = tuple(
+        max((len(pairs[t][k]) for t in range(T)), default=0)
+        for k in range(K)
+    )
+    return pairs, Pk
+
+
+def build_packed_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
+                      common: "PackedPlan | None" = None,
+                      common_static: "tuple | None" = None):
+    """Build the packed plan, or return None when the mesh's per-tile
+    (slot, offset) pair count exceeds ``pack_pmax`` (no offset regularity —
+    keep the one-hot kernels).
+
+    ``common_static``: (K, Pk_s, Pk_g, J_sc, J_g) to force — the sharded
+    solver compiles ONE program over all parts (step.build_pallas_data
+    ``common``); raises AssertionError if this mesh does not fit."""
+    edges = mesh.edges
+    Ed = edges.shape[0]
+    N = mesh.n_nodes
+    T = Np // tile
+    slot, K_own = _slot_assign(edges, N)
+    d = (edges[:, 1] - edges[:, 0]).astype(np.int64)
+
+    ht = edges[:, 0] // tile  # home tile (gather pairs keyed here)
+    ot = edges[:, 1] // tile  # other-endpoint tile (scatter pairs keyed here)
+    g_pairs, Pk_g_own = _pair_sets(ht, slot, d, T, K_own)
+    s_pairs, Pk_s_own = _pair_sets(ot, slot, d, T, K_own)
+    P_g_own = sum(Pk_g_own)
+    P_s_own = sum(Pk_s_own)
+
+    if common_static is not None:
+        K, Pk_s, Pk_g, J_sc, J_g = common_static
+        assert K_own <= K and P_s_own <= sum(Pk_s) and P_g_own <= sum(Pk_g), (
+            "part exceeds common packed static")
+        # per-slot fits too (slot-major layout is static per slot)
+        assert all(a <= b for a, b in zip(Pk_s_own, Pk_s))
+        assert all(a <= b for a, b in zip(Pk_g_own, Pk_g))
+    else:
+        if max(P_s_own, P_g_own) > pack_pmax:
+            return None
+        K, Pk_s, Pk_g = K_own, Pk_s_own, Pk_g_own
+        J_sc = J_g = 0  # sized below
+
+    # ---- home-slot arrays -------------------------------------------------
+    lev_home = np.zeros((K, Np), dtype=np.int32)
+    einv = np.full((K, Np), -1, dtype=np.int32)
+    lev_home[slot, edges[:, 0]] = mesh.nlev_edge
+    einv[slot, edges[:, 0]] = np.arange(Ed, dtype=np.int32)
+
+    # ---- window sizing ----------------------------------------------------
+    # scatter (K2/K4): tile t reads F-slab columns {n1_tile - d} U [t0, t0+TN)
+    # gather  (K3):    tile t reads pm columns {n0 + d}       U [t0, t0+TN)
+    t0s = np.arange(T, dtype=np.int64) * tile
+    # exact per-tile source spans (true edge endpoints, not t0 -/+ d: early
+    # tiles have pairs whose offset exceeds t0 — those lanes have no edge
+    # and wrap around the window, masked in-kernel like K1's DIA shifts)
+    sc_min = t0s.copy()
+    np.minimum.at(sc_min, ot, edges[:, 0].astype(np.int64))
+    g_max = t0s + tile - 1
+    np.maximum.at(g_max, ht, edges[:, 1].astype(np.int64))
+    j_sc_own = int(((t0s + tile - 1) // BLOCK - sc_min // BLOCK + 1).max())
+    j_g_own = int((g_max // BLOCK - t0s // BLOCK + 1).max())
+    if common_static is not None:
+        assert j_sc_own <= J_sc and j_g_own <= J_g, (
+            "part window exceeds common packed static")
+        assert J_sc * BLOCK <= Np and J_g * BLOCK <= Np, (
+            "packed window wider than padded source")
+    else:
+        J_sc, J_g = j_sc_own, j_g_own
+
+    # ---- per-tile wb (win_block, q, rem) + lev/indicator tensors ----------
+    P_s, P_g = sum(Pk_s), sum(Pk_g)
+    sc_wb = np.zeros((T, 1 + 2 * P_s), dtype=np.int32)
+    g_wb = np.zeros((T, 1 + 2 * P_g), dtype=np.int32)
+    sc_lev = np.zeros((T, max(P_s, 1), tile), dtype=np.int32)
+    g_ind = np.zeros((T, max(P_g, 1), tile), dtype=np.int32)
+    # slot-major pair base offsets (static layout shared by all tiles)
+    base_s = np.concatenate([[0], np.cumsum(Pk_s)]).astype(int)
+    base_g = np.concatenate([[0], np.cumsum(Pk_g)]).astype(int)
+
+    # win_block per tile (clamped into the padded source)
+    sc_wbk = np.maximum(0, (t0s + tile) // BLOCK - J_sc)
+    g_wbk = np.minimum(t0s // BLOCK, Np // BLOCK - J_g)
+    sc_wb[:, 0] = sc_wbk
+    g_wb[:, 0] = g_wbk
+
+    # pair slot index per tile: maps (t, k, d) -> static pair position
+    pair_pos_s = [dict() for _ in range(T)]
+    pair_pos_g = [dict() for _ in range(T)]
+    for t in range(T):
+        for k in range(K_own):
+            for j, dv in enumerate(sorted(s_pairs[t][k])):
+                p = base_s[k] + j
+                pair_pos_s[t][(k, dv)] = p
+                # mod-W wrap: lanes whose source precedes the window have no
+                # edge (level bound 0) — the wrapped read is masked
+                s = int(t0s[t] - dv - sc_wbk[t] * BLOCK) % (J_sc * BLOCK)
+                sc_wb[t, 1 + p] = s // BLOCK
+                sc_wb[t, 1 + P_s + p] = s % BLOCK
+            for j, dv in enumerate(sorted(g_pairs[t][k])):
+                p = base_g[k] + j
+                pair_pos_g[t][(k, dv)] = p
+                s = int(t0s[t] + dv - g_wbk[t] * BLOCK)
+                assert 0 <= s < J_g * BLOCK
+                g_wb[t, 1 + p] = s // BLOCK
+                g_wb[t, 1 + P_g + p] = s % BLOCK
+
+    # per-(pair, node) tensors: scatter level bounds keyed at the RECEIVING
+    # (n1) node; gather indicators keyed at the HOME (n0) node
+    for e in range(Ed):
+        k, dv = int(slot[e]), int(d[e])
+        t = int(ot[e])
+        sc_lev[t, pair_pos_s[t][(k, dv)],
+               int(edges[e, 1] - t0s[t])] = mesh.nlev_edge[e]
+        t = int(ht[e])
+        g_ind[t, pair_pos_g[t][(k, dv)], int(edges[e, 0] - t0s[t])] = 1
+
+    return PackedPlan(
+        K=K, Pk_s=tuple(Pk_s), Pk_g=tuple(Pk_g), J_sc=J_sc, J_g=J_g,
+        lev_home=lev_home, einv=einv, eslot=slot,
+        sc_wb=sc_wb, sc_lev=sc_lev, g_wb=g_wb, g_ind=g_ind,
+    )

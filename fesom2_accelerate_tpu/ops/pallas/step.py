@@ -36,6 +36,8 @@ from fesom2_accelerate_tpu.config import FctAleConfig
 from fesom2_accelerate_tpu.mesh.topology import Mesh
 from fesom2_accelerate_tpu.ops.meshdata import MeshData, build_mesh_data
 from fesom2_accelerate_tpu.ops.pallas import kernels
+from fesom2_accelerate_tpu.ops.pallas import kernels_packed
+from fesom2_accelerate_tpu.ops.pallas.packed import build_packed_plan
 from fesom2_accelerate_tpu.ops.pallas.plan import (
     BLOCK,
     GatherPlan,
@@ -121,8 +123,19 @@ class PallasData:
     nlev_elem_row: jax.Array  # [1, Ep]
 
     # boundary edge tiles for the post-exchange b3h fixup (sharded runs);
-    # [max(n_fix_tiles, 1)] int32, padded by repeating a boundary tile
+    # [max(n_fix_tiles, 1)] int32, padded by repeating a boundary tile.
+    # In packed mode these are NODE-tile ids of the packed layout.
     b3h_fix_ids: jax.Array
+
+    # PACKED (home-slot DIA) edge layout (ops/pallas/packed.py; active when
+    # PallasStatic.pack_K > 0, zero-size dummies otherwise)
+    pk_lev_home: jax.Array  # [K, Np] int32 edge level bound at (slot, home)
+    pk_einv: jax.Array  # [K, Np] int32 edge id at (slot, home), -1 absent
+    pk_eslot: jax.Array  # [Edp] int32 slot per edge (-1 pad)
+    pk_sc_wb: jax.Array  # [T_n, 1 + 2*P_s] int32
+    pk_sc_lev: jax.Array  # [T_n, P_s, tile] int32
+    pk_g_wb: jax.Array  # [T_n, 1 + 2*P_g] int32
+    pk_g_ind: jax.Array  # [T_n, P_g, tile] int32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -158,6 +171,13 @@ class PallasStatic:
     # offsets per tile (0 = use the one-hot form)
     a3f_un_nblocks: int = 2
     a3f_dia_D: int = 0
+    # PACKED edge layout for K2/K3/K4 (0 = one-hot kernels); per-slot
+    # (slot, offset) pair counts are static so kernels unroll over them
+    pack_K: int = 0
+    pack_Pk_s: tuple = ()
+    pack_Pk_g: tuple = ()
+    pack_J_sc: int = 0
+    pack_J_g: int = 0
 
 
 def _pad_mesh(mesh: Mesh, Np: int, Ep: int, Edp: int) -> Mesh:
@@ -196,6 +216,7 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
                       chunk: "int | None" = None,
                       scatter_chunk: "int | None" = None,
                       dia_max: int = 40,
+                      pack_pmax: int = 16,
                       halo_mask: "np.ndarray | None" = None,
                       xp=jnp):
     """Returns (PallasData, PallasStatic).
@@ -380,6 +401,20 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
         dia_wb = np.zeros((T_n, 3), dtype=np.int32)
         dia_lev = np.zeros((T_n, 1, tile), dtype=np.int32)
 
+    # ---- PACKED edge plan (K2/K3/K4 home-slot DIA form, packed.py) -------
+    if common is not None:
+        if common.pack_K:
+            pk = build_packed_plan(
+                mesh, tile, Np,
+                common_static=(common.pack_K, common.pack_Pk_s,
+                               common.pack_Pk_g, common.pack_J_sc,
+                               common.pack_J_g),
+            )
+        else:
+            pk = None
+    else:
+        pk = build_packed_plan(mesh, tile, Np, pack_pmax=pack_pmax)
+
     # per-incidence level bounds in the same k-major column layout as the
     # plans (one per side)
     T_n = Np // tile
@@ -405,14 +440,21 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
         b = pb.win_block if pb is not None else pa.win_block
         return np.stack([a, b], axis=1)
 
-    # boundary edge tiles: tiles whose edges touch a halo node — the only
-    # b3h work that must wait for the exchanged limiter factors
-    # (reference post_comm, src/fesom2-accelerate.cu:358-379)
+    # boundary tiles: tiles whose edges touch a halo node — the only b3h
+    # work that must wait for the exchanged limiter factors (reference
+    # post_comm, src/fesom2-accelerate.cu:358-379).  Edge tiles in the
+    # one-hot layout; home NODE tiles in the packed layout.
     if halo_mask is not None and halo_mask.any():
-        ebnd = np.zeros(Edp, dtype=bool)
-        ebnd[:Ed] = halo_mask[mesh.edges].any(axis=1)
-        fix_ids = np.nonzero(ebnd.reshape(-1, tile).any(axis=1))[0]
-        fix_ids = fix_ids.astype(np.int32)
+        etouch = halo_mask[mesh.edges].any(axis=1)
+        if pk is not None:
+            tbnd = np.zeros(T_n, dtype=bool)
+            tbnd[(mesh.edges[etouch, 0] // tile)] = True
+            fix_ids = np.nonzero(tbnd)[0].astype(np.int32)
+        else:
+            ebnd = np.zeros(Edp, dtype=bool)
+            ebnd[:Ed] = etouch
+            fix_ids = np.nonzero(ebnd.reshape(-1, tile).any(axis=1))[0]
+            fix_ids = fix_ids.astype(np.int32)
     else:
         fix_ids = np.zeros(0, dtype=np.int32)
     n_fix = len(fix_ids)
@@ -425,6 +467,31 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
     pad_id = fix_ids[0] if n_fix else np.int32(0)
     fix_ids = np.concatenate(
         [fix_ids, np.full(n_fix_pad - n_fix, pad_id, np.int32)])
+
+    if pk is not None:
+        pk_arrays = dict(
+            pk_lev_home=pk.lev_home,
+            pk_einv=pk.einv,
+            pk_eslot=pad_rows(pk.eslot, Edp, fill=-1),
+            pk_sc_wb=pk.sc_wb,
+            pk_sc_lev=pk.sc_lev,
+            pk_g_wb=pk.g_wb,
+            pk_g_ind=pk.g_ind,
+        )
+        pk_static = dict(pack_K=pk.K, pack_Pk_s=pk.Pk_s, pack_Pk_g=pk.Pk_g,
+                         pack_J_sc=pk.J_sc, pack_J_g=pk.J_g)
+    else:
+        pk_arrays = dict(
+            pk_lev_home=np.zeros((1, Np), np.int32),
+            pk_einv=np.full((1, Np), -1, np.int32),
+            pk_eslot=np.full(Edp, -1, np.int32),
+            pk_sc_wb=np.zeros((T_n, 1), np.int32),
+            pk_sc_lev=np.zeros((T_n, 1, tile), np.int32),
+            pk_g_wb=np.zeros((T_n, 1), np.int32),
+            pk_g_ind=np.zeros((T_n, 1, tile), np.int32),
+        )
+        pk_static = dict(pack_K=0, pack_Pk_s=(), pack_Pk_g=(),
+                         pack_J_sc=0, pack_J_g=0)
 
     i32 = functools.partial(xp.asarray, dtype=jnp.int32)
     data = PallasData(
@@ -449,6 +516,7 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
         a2_wb=i32(wb2(p_a2)),
         nlev_elem_row=i32(padded.nlev_elem[None, :]),
         b3h_fix_ids=i32(fix_ids),
+        **{k: i32(v) for k, v in pk_arrays.items()},
     )
     static = PallasStatic(
         tile=tile,
@@ -460,6 +528,7 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
         n_fix_tiles=(common.n_fix_tiles if common is not None else n_fix),
         chunk=chunk, scatter_chunk=scatter_chunk,
         a3f_un_nblocks=j_a3f_un, a3f_dia_D=D,
+        **pk_static,
     )
     return data, static
 
@@ -487,27 +556,56 @@ _EDGE_FIELDS = frozenset({"fct_adf_h", "fct_adf_h_limited"})
 _IFACE_FIELDS = frozenset({"fct_adf_v", "fct_adf_v_limited"})  # L+1 rows
 
 
-def pad_state(ps: PallasStatic, state: dict) -> dict:
-    """Natural-shape state -> padded kernel layout ([Lp|Lpv, Np] / [Lp, Edp]).
+def _pack_edge_field(ps: PallasStatic, pd: PallasData, v) -> jax.Array:
+    """Natural edge field [L, Ed] -> packed [K*Lp, Np] (slot-major slabs,
+    column = home node; see packed.py)."""
+    K, Lp = ps.pack_K, ps.Lp
+    vp = _rowpad(jnp.pad(v, ((0, 0), (0, 1))), Lp)  # sentinel column Ed
+    idx = jnp.where(pd.pk_einv >= 0, pd.pk_einv, ps.Ed)
+    g = jnp.take(vp, idx.reshape(-1), axis=1).reshape(Lp, K, ps.Np)
+    return jnp.moveaxis(g, 1, 0).reshape(K * Lp, ps.Np)
 
-    Keeping the scan state padded removes all per-step pad/slice XLA work."""
+
+def _unpack_edge_field(ps: PallasStatic, pd: PallasData, vp) -> jax.Array:
+    """Packed [K*Lp, Np] -> natural edge field [L, Ed]."""
+    K, Lp = ps.pack_K, ps.Lp
+    v3 = vp.reshape(K, Lp, ps.Np)
+    slot = pd.pk_eslot[:ps.Ed]
+    home = pd.starts_col[:ps.Ed, 0]
+    return v3[slot, :, home].T[:ps.L]
+
+
+def pad_state(ps: PallasStatic, state: dict,
+              pd: "PallasData | None" = None) -> dict:
+    """Natural-shape state -> padded kernel layout ([Lp|Lpv, Np] node /
+    [Lp, Edp] edge, or packed [K*Lp, Np] edge when ``ps.pack_K``).
+
+    Keeping the scan state padded removes all per-step pad/slice XLA work.
+    ``pd`` is required in packed mode (edge<->slot maps live there)."""
     out = {}
     for k, v in state.items():
         if k in _EDGE_FIELDS:
-            out[k] = _rowpad(jnp.pad(v, ((0, 0), (0, ps.Edp - ps.Ed))),
-                             ps.Lp)
+            if ps.pack_K:
+                out[k] = _pack_edge_field(ps, pd, v)
+            else:
+                out[k] = _rowpad(jnp.pad(v, ((0, 0), (0, ps.Edp - ps.Ed))),
+                                 ps.Lp)
         else:
             rows = ps.Lpv if k in _IFACE_FIELDS else ps.Lp
             out[k] = _rowpad(jnp.pad(v, ((0, 0), (0, ps.Np - ps.N))), rows)
     return out
 
 
-def unpad_state(ps: PallasStatic, pstate: dict) -> dict:
+def unpad_state(ps: PallasStatic, pstate: dict,
+                pd: "PallasData | None" = None) -> dict:
     """Padded kernel layout -> natural shapes."""
     out = {}
     for k, v in pstate.items():
         if k in _EDGE_FIELDS:
-            out[k] = v[:ps.L, :ps.Ed]
+            if ps.pack_K:
+                out[k] = _unpack_edge_field(ps, pd, v)
+            else:
+                out[k] = v[:ps.L, :ps.Ed]
         else:
             rows = ps.L + 1 if k in _IFACE_FIELDS else ps.L
             out[k] = v[:rows, :ps.N]
@@ -552,46 +650,87 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
             K_lo=ps.K_lo, K_hi=ps.K_hi, vlimit=cfg.vlimit, chunk=ps.chunk,
         )
 
-    # K2: b1 vertical + b1 horizontal scatter + b2 + b3 vertical
-    pm, av_out, av2 = kernels.limit_pallas(
-        adf_v, tt, pd.area_inv_pad, adf_h_pad, pd.starts_col, pd.ends_col,
-        pd.nlev_edge_row, pd.ne_wb, pd.nlev_nod_row, tile=ps.tile,
-        nblocks_lo=ps.ne_lo_nblocks, nblocks_hi=ps.ne_hi_nblocks, L=L,
-        dt=dt, flux_eps=float(cfg.flux_eps), iter_yn=cfg.iter_yn,
-        chunk=ps.scatter_chunk,
-    )
+    # K2: b1 vertical + b1 horizontal scatter + b2 + b3 vertical.  Packed
+    # (home-slot DIA) form when the mesh ordering admits it — aligned slab
+    # sums + per-(slot, offset) lane shifts instead of one-hot contractions
+    # (kernels_packed.py); the residual output is skipped outside iterative
+    # mode in the packed form (one fewer [Lpv, Np] HBM write).
+    if ps.pack_K:
+        lim = kernels_packed.limit_packed_pallas(
+            adf_v, tt, pd.area_inv_pad, adf_h_pad, pd.pk_lev_home,
+            pd.pk_sc_lev, pd.pk_sc_wb, pd.nlev_nod_row, tile=ps.tile,
+            J=ps.pack_J_sc, K=ps.pack_K, Pk=ps.pack_Pk_s, L=L, dt=dt,
+            flux_eps=float(cfg.flux_eps), iter_yn=cfg.iter_yn,
+        )
+        pm, av_out = lim[0], lim[1]
+        av2 = lim[2] if cfg.iter_yn else None
+    else:
+        pm, av_out, av2 = kernels.limit_pallas(
+            adf_v, tt, pd.area_inv_pad, adf_h_pad, pd.starts_col,
+            pd.ends_col, pd.nlev_edge_row, pd.ne_wb, pd.nlev_nod_row,
+            tile=ps.tile, nblocks_lo=ps.ne_lo_nblocks,
+            nblocks_hi=ps.ne_hi_nblocks, L=L, dt=dt,
+            flux_eps=float(cfg.flux_eps), iter_yn=cfg.iter_yn,
+            chunk=ps.scatter_chunk,
+        )
 
     overlap = exchange is not None and ps.n_fix_tiles > 0
     pm_x = exchange(pm) if exchange is not None else pm
 
-    # K3: b3 horizontal (split endpoint gathers).  With a boundary plan it
+    # K3: b3 horizontal (endpoint gathers).  With a boundary plan it
     # consumes the PRE-exchange factors — interior edges see only owned
     # endpoints, whose factors the exchange does not change — so the
     # collective and this sweep are dataflow-independent and overlap.
-    adf_h_lim_pad, adf_h_resid_pad = kernels.b3h_pallas(
-        pm if overlap else pm_x, adf_h_pad, pd.b3h_lidx_lo, pd.b3h_lidx_hi,
-        pd.b3h_wb, pd.nlev_edge_row, tile=ps.tile,
-        nblocks_lo=ps.b3h_lo_nblocks, nblocks_hi=ps.b3h_hi_nblocks,
-        chunk=ps.chunk,
-    )
-    if overlap:
-        # redo only the halo-touching edge tiles with exchanged factors
-        adf_h_lim_pad, adf_h_resid_pad = kernels.b3h_fixup_pallas(
-            pm_x, adf_h_pad, adf_h_lim_pad, adf_h_resid_pad,
-            pd.b3h_lidx_lo, pd.b3h_lidx_hi, pd.b3h_wb, pd.b3h_fix_ids,
-            pd.nlev_edge_row, tile=ps.tile, nblocks_lo=ps.b3h_lo_nblocks,
-            nblocks_hi=ps.b3h_hi_nblocks, chunk=ps.chunk,
+    if ps.pack_K:
+        adf_h_lim_pad, adf_h_resid_pad = kernels_packed.b3h_packed_pallas(
+            pm if overlap else pm_x, adf_h_pad, pd.pk_lev_home, pd.pk_g_ind,
+            pd.pk_g_wb, tile=ps.tile, J=ps.pack_J_g, K=ps.pack_K,
+            Pk=ps.pack_Pk_g, with_resid=cfg.iter_yn,
         )
+        if overlap:
+            # redo only the halo-touching home-node tiles
+            adf_h_lim_pad, adf_h_resid_pad = (
+                kernels_packed.b3h_packed_fixup_pallas(
+                    pm_x, adf_h_pad, adf_h_lim_pad, adf_h_resid_pad,
+                    pd.pk_lev_home, pd.pk_g_ind, pd.pk_g_wb,
+                    pd.b3h_fix_ids, tile=ps.tile, J=ps.pack_J_g,
+                    K=ps.pack_K, Pk=ps.pack_Pk_g, with_resid=cfg.iter_yn,
+                ))
+    else:
+        adf_h_lim_pad, adf_h_resid_pad = kernels.b3h_pallas(
+            pm if overlap else pm_x, adf_h_pad, pd.b3h_lidx_lo,
+            pd.b3h_lidx_hi, pd.b3h_wb, pd.nlev_edge_row, tile=ps.tile,
+            nblocks_lo=ps.b3h_lo_nblocks, nblocks_hi=ps.b3h_hi_nblocks,
+            chunk=ps.chunk,
+        )
+        if overlap:
+            # redo only the halo-touching edge tiles with exchanged factors
+            adf_h_lim_pad, adf_h_resid_pad = kernels.b3h_fixup_pallas(
+                pm_x, adf_h_pad, adf_h_lim_pad, adf_h_resid_pad,
+                pd.b3h_lidx_lo, pd.b3h_lidx_hi, pd.b3h_wb, pd.b3h_fix_ids,
+                pd.nlev_edge_row, tile=ps.tile,
+                nblocks_lo=ps.b3h_lo_nblocks,
+                nblocks_hi=ps.b3h_hi_nblocks, chunk=ps.chunk,
+            )
 
     # K4: stage c
-    o1, o2 = kernels.update_pallas(
-        av_out, ttf, state["hnode"], state["hnode_new"], fct_LO,
-        state["del_ttf_advvert"], state["del_ttf_advhoriz"],
-        pd.area_inv_pad, adf_h_lim_pad, pd.starts_col, pd.ends_col,
-        pd.nlev_edge_row, pd.ne_wb, pd.nlev_nod_row, tile=ps.tile,
-        nblocks_lo=ps.ne_lo_nblocks, nblocks_hi=ps.ne_hi_nblocks, L=L,
-        dt=dt, iter_yn=cfg.iter_yn, chunk=ps.scatter_chunk,
-    )
+    if ps.pack_K:
+        o1, o2 = kernels_packed.update_packed_pallas(
+            av_out, ttf, state["hnode"], state["hnode_new"], fct_LO,
+            state["del_ttf_advvert"], state["del_ttf_advhoriz"],
+            pd.area_inv_pad, adf_h_lim_pad, pd.pk_lev_home, pd.pk_sc_lev,
+            pd.pk_sc_wb, pd.nlev_nod_row, tile=ps.tile, J=ps.pack_J_sc,
+            K=ps.pack_K, Pk=ps.pack_Pk_s, L=L, dt=dt, iter_yn=cfg.iter_yn,
+        )
+    else:
+        o1, o2 = kernels.update_pallas(
+            av_out, ttf, state["hnode"], state["hnode_new"], fct_LO,
+            state["del_ttf_advvert"], state["del_ttf_advhoriz"],
+            pd.area_inv_pad, adf_h_lim_pad, pd.starts_col, pd.ends_col,
+            pd.nlev_edge_row, pd.ne_wb, pd.nlev_nod_row, tile=ps.tile,
+            nblocks_lo=ps.ne_lo_nblocks, nblocks_hi=ps.ne_hi_nblocks, L=L,
+            dt=dt, iter_yn=cfg.iter_yn, chunk=ps.scatter_chunk,
+        )
 
     out = dict(state)
     out.update(
@@ -626,5 +765,6 @@ def fct_ale_step_pallas(pd: PallasData, ps: PallasStatic, cfg: FctAleConfig,
     multi-step runs, pad once with :func:`pad_state`, scan
     :func:`fct_ale_step_pallas_padded`, and unpad once at the end."""
     return unpad_state(
-        ps, fct_ale_step_pallas_padded(pd, ps, cfg, pad_state(ps, state))
+        ps, fct_ale_step_pallas_padded(pd, ps, cfg, pad_state(ps, state, pd)),
+        pd,
     )

@@ -97,6 +97,29 @@ def _halo_fill_nbr(x, smaps, B, H, n_parts, axis_name="p"):
     return jnp.concatenate([lo, own, hi, tail], axis=-1)
 
 
+def _common_packed(statics):
+    """Unify the packed-layout static across parts (element-wise max of the
+    per-slot pair tuples, padded to the max slot count); packed only if
+    EVERY part admits it — shard_map compiles one program."""
+    if any(s.pack_K == 0 for s in statics):
+        return dict(pack_K=0, pack_Pk_s=(), pack_Pk_g=(),
+                    pack_J_sc=0, pack_J_g=0)
+    K = max(s.pack_K for s in statics)
+
+    def merge(key):
+        out = [0] * K
+        for s in statics:
+            for k, v in enumerate(getattr(s, key)):
+                out[k] = max(out[k], v)
+        return tuple(out)
+
+    return dict(
+        pack_K=K, pack_Pk_s=merge("pack_Pk_s"), pack_Pk_g=merge("pack_Pk_g"),
+        pack_J_sc=max(s.pack_J_sc for s in statics),
+        pack_J_g=max(s.pack_J_g for s in statics),
+    )
+
+
 def sharded_fct_ale_step(md: MeshData, cfg: FctAleConfig, exchange,
                          state: dict) -> dict:
     """One XLA-path FCT-ALE step on this device's subdomain (runs inside
@@ -259,6 +282,7 @@ class ShardedFctAleSolver:
                 # DIA only if every part's offset count fits (one program)
                 a3f_dia_D=(0 if any(s.a3f_dia_D == 0 for s in statics)
                            else max(s.a3f_dia_D for s in statics)),
+                **_common_packed(statics),
             )
             pds = [pstep.build_pallas_data(m, common=common, halo_mask=hm,
                                            xp=np)[0]
@@ -319,11 +343,12 @@ class ShardedFctAleSolver:
                 raise ValueError(f"unknown field layout for {k}: {v.shape}")
             out[k] = jnp.asarray(loc, dtype=self.cfg.dtype)
         if self.backend == "pallas":
-            # pad each part to the kernel layout (stacked, then sharded)
+            # pad each part to the kernel layout (stacked, then sharded);
+            # per-part edge<->slot maps ride in the stacked PallasData
             ps = self.ps
-            pad = jax.vmap(functools.partial(self._pstep.pad_state, ps),
+            pad = jax.vmap(lambda pd, s: self._pstep.pad_state(ps, s, pd),
                            in_axes=0, out_axes=0)
-            out = pad(out)
+            out = pad(self.md, out)
         return {k: self._put(v) for k, v in out.items()}
 
     def gather_node(self, arr) -> np.ndarray:

@@ -7,7 +7,12 @@ is true device time, free of per-call dispatch/RPC overhead — the
 per-kernel analogue of the reference's kernel_tuner timing
 (reference kernels/fct_ale_a1.py:93-95).
 
-Usage: python scripts/perf_kernels.py [--preset core2] [--iters 30]
+Times whatever forms the production build selects (packed/DIA on
+bandwidth-ordered meshes, one-hot otherwise); ``--onehot`` forces the
+one-hot fallback forms for comparison.
+
+Usage: python scripts/perf_kernels.py [--preset core2] [--iters 100]
+       [--tile 256] [--onehot] [--store out.json]
 """
 
 import argparse
@@ -22,9 +27,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="core2")
-    # >= 150 iterations: the tunneled backend costs ~25 ms dispatch+sync
+    # >= 100 iterations: the tunneled backend costs ~25 ms dispatch+sync
     # per jitted call; short scans attribute that tax to the kernel
-    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--tile", type=int, default=None)
+    ap.add_argument("--onehot", action="store_true",
+                    help="force the one-hot kernel forms")
+    ap.add_argument("--store", default=None, help="write results JSON here")
     args = ap.parse_args()
 
     import jax
@@ -36,19 +45,29 @@ def main():
 
     from fesom2_accelerate_tpu.config import FctAleConfig
     from fesom2_accelerate_tpu.mesh import generate_planar_mesh, random_fields
-    from fesom2_accelerate_tpu.ops.pallas import kernels
+    from fesom2_accelerate_tpu.ops.pallas import kernels, kernels_packed
     from fesom2_accelerate_tpu.ops.pallas import step as pstep
 
     mesh = generate_planar_mesh(preset=args.preset)
     cfg = FctAleConfig(dt=0.5, dtype=jnp.float32, flux_eps=1e-7)
-    pd, ps = pstep.build_pallas_data(mesh)
+    kw = dict(tile=args.tile) if args.tile else {}
+    if args.onehot:
+        kw.update(pack_pmax=0, dia_max=0)
+    pd, ps = pstep.build_pallas_data(mesh, **kw)
     fields = random_fields(mesh, seed=0, dtype=np.float32)
-    state = pstep.pad_state(ps, {k: jnp.asarray(v) for k, v in fields.items()})
+    state = pstep.pad_state(
+        ps, {k: jnp.asarray(v) for k, v in fields.items()}, pd)
 
     L, Lp, Lpv = ps.L, ps.Lp, ps.Lpv
     dt = float(cfg.dt)
+    packed = ps.pack_K > 0
 
     def k1(pd, lo, ttf):
+        if ps.a3f_dia_D:
+            return kernels.bounds_dia_pallas(
+                lo, ttf, pd.a3f_dia_wb, pd.a3f_dia_lev, pd.nlev_nod_row,
+                tile=ps.tile, nblocks=ps.a3f_un_nblocks, D=ps.a3f_dia_D,
+                vlimit=cfg.vlimit)
         return kernels.bounds_pallas(
             lo, ttf, pd.a3f_lidx_lo, pd.a3f_lev_lo,
             pd.a3f_lidx_hi, pd.a3f_lev_hi, pd.a3f_wb, pd.nlev_nod_row,
@@ -59,6 +78,12 @@ def main():
     tt0 = k1(pd, state["fct_LO"], state["ttf"])
 
     def k2(pd, s, tt):
+        if packed:
+            return kernels_packed.limit_packed_pallas(
+                s["fct_adf_v"], tt, pd.area_inv_pad, s["fct_adf_h"],
+                pd.pk_lev_home, pd.pk_sc_lev, pd.pk_sc_wb, pd.nlev_nod_row,
+                tile=ps.tile, J=ps.pack_J_sc, K=ps.pack_K, Pk=ps.pack_Pk_s,
+                L=L, dt=dt, flux_eps=float(cfg.flux_eps))
         return kernels.limit_pallas(
             s["fct_adf_v"], tt, pd.area_inv_pad, s["fct_adf_h"],
             pd.starts_col, pd.ends_col, pd.nlev_edge_row, pd.ne_wb,
@@ -66,17 +91,30 @@ def main():
             nblocks_hi=ps.ne_hi_nblocks, L=L, dt=dt,
             flux_eps=float(cfg.flux_eps), chunk=ps.scatter_chunk)
 
-    pm0, av0, _ = k2(pd, state, tt0)
+    pm0, av0 = k2(pd, state, tt0)[:2]
 
     def k3(pd, s, pm):
+        if packed:
+            return kernels_packed.b3h_packed_pallas(
+                pm, s["fct_adf_h"], pd.pk_lev_home, pd.pk_g_ind, pd.pk_g_wb,
+                tile=ps.tile, J=ps.pack_J_g, K=ps.pack_K, Pk=ps.pack_Pk_g,
+                with_resid=False)
         return kernels.b3h_pallas(
             pm, s["fct_adf_h"], pd.b3h_lidx_lo, pd.b3h_lidx_hi, pd.b3h_wb,
             pd.nlev_edge_row, tile=ps.tile, nblocks_lo=ps.b3h_lo_nblocks,
             nblocks_hi=ps.b3h_hi_nblocks, chunk=ps.chunk)
 
-    ah0, _ = k3(pd, state, pm0)
+    ah0 = k3(pd, state, pm0)[0]
 
     def k4(pd, s, av, ah):
+        if packed:
+            return kernels_packed.update_packed_pallas(
+                av, s["ttf"], s["hnode"], s["hnode_new"], s["fct_LO"],
+                s["del_ttf_advvert"], s["del_ttf_advhoriz"],
+                pd.area_inv_pad, ah, pd.pk_lev_home, pd.pk_sc_lev,
+                pd.pk_sc_wb, pd.nlev_nod_row, tile=ps.tile, J=ps.pack_J_sc,
+                K=ps.pack_K, Pk=ps.pack_Pk_s, L=L, dt=dt,
+                iter_yn=cfg.iter_yn)
         return kernels.update_pallas(
             av, s["ttf"], s["hnode"], s["hnode_new"],
             s["fct_LO"], s["del_ttf_advvert"], s["del_ttf_advhoriz"],
@@ -84,6 +122,8 @@ def main():
             pd.nlev_edge_row, pd.ne_wb, pd.nlev_nod_row, tile=ps.tile,
             nblocks_lo=ps.ne_lo_nblocks, nblocks_hi=ps.ne_hi_nblocks, L=L,
             dt=dt, iter_yn=cfg.iter_yn, chunk=ps.scatter_chunk)
+
+    results = []
 
     def bench(name, make_scan, n=args.iters):
         jf = jax.jit(make_scan)
@@ -93,7 +133,9 @@ def main():
         out = jf(pd, state)
         jax.block_until_ready(out)
         ms = (time.perf_counter() - t0) / n * 1e3
-        print(json.dumps({"kernel": name, "ms": round(ms, 4)}))
+        rec = {"kernel": name, "ms": round(ms, 4)}
+        results.append(rec)
+        print(json.dumps(rec))
         return ms
 
     eps = jnp.float32(1e-30)
@@ -107,16 +149,19 @@ def main():
 
     def scan_k2(pd, s):
         def body(tt, _):
-            pm, _, _ = k2(pd, s, tt)
+            pm = k2(pd, s, tt)[0]
             return tt + eps * pm, None
         out, _ = jax.lax.scan(body, tt0, None, length=args.iters)
         return out
 
     def scan_k3(pd, s):
         def body(pm, _):
-            ah, res = k3(pd, s, pm)
-            return pm + eps * jnp.concatenate([ah[:Lp, :ps.Np],
-                                               res[:Lp, :ps.Np]]), None
+            ah = k3(pd, s, pm)[0]
+            if packed:
+                d = ah[:2 * Lp, :ps.Np]
+            else:
+                d = jnp.concatenate([ah[:Lp, :ps.Np], ah[:Lp, :ps.Np]])
+            return pm + eps * d, None
         out, _ = jax.lax.scan(body, pm0, None, length=args.iters)
         return out
 
@@ -135,24 +180,36 @@ def main():
         out, _ = jax.lax.scan(body, s, None, length=args.iters)
         return out
 
+    form = "packed" if packed else "onehot"
+    k1form = "dia" if ps.a3f_dia_D else "onehot"
     total = 0.0
-    total += bench("K1_bounds", scan_k1)
-    total += bench("K2_limit", scan_k2)
-    total += bench("K3_b3h", scan_k3)
-    total += bench("K4_update", scan_k4)
+    total += bench(f"K1_bounds[{k1form}]", scan_k1)
+    total += bench(f"K2_limit[{form}]", scan_k2)
+    total += bench(f"K3_b3h[{form}]", scan_k3)
+    total += bench(f"K4_update[{form}]", scan_k4)
     whole_ms = bench("whole_step", scan_whole)
-    print(json.dumps({
+    summary = {
         "sum_kernels_ms": round(total, 4),
         "whole_ms": round(whole_ms, 4),
+        "preset": args.preset,
         "static": {
             "tile": ps.tile, "Np": ps.Np, "Ep": ps.Ep, "Edp": ps.Edp,
+            "pack_K": ps.pack_K, "pack_Pk_s": list(ps.pack_Pk_s),
+            "pack_Pk_g": list(ps.pack_Pk_g), "pack_J_sc": ps.pack_J_sc,
+            "pack_J_g": ps.pack_J_g, "dia_D": ps.a3f_dia_D,
             "K_lo": ps.K_lo, "K_hi": ps.K_hi,
             "J": {"a3f_lo": ps.a3f_lo_nblocks, "a3f_hi": ps.a3f_hi_nblocks,
+                  "a3f_un": ps.a3f_un_nblocks,
                   "ne_lo": ps.ne_lo_nblocks, "ne_hi": ps.ne_hi_nblocks,
                   "b3h_lo": ps.b3h_lo_nblocks, "b3h_hi": ps.b3h_hi_nblocks,
                   "a2": ps.a2_nblocks},
         },
-    }))
+    }
+    results.append(summary)
+    print(json.dumps(summary))
+    if args.store:
+        with open(args.store, "w") as f:
+            json.dump(results, f, indent=2)
 
 
 if __name__ == "__main__":

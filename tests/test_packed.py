@@ -1,0 +1,122 @@
+"""PACKED (home-slot DIA) edge-layout kernels vs oracle and one-hot forms.
+
+The packed layout (ops/pallas/packed.py, ops/pallas/kernels_packed.py)
+replaces the one-hot MXU contractions of K2/K3/K4 with aligned slab sums +
+per-(slot, offset) lane shifts.  These tests pin:
+
+* plan invariants (every edge lands in exactly one (slot, home) cell, pair
+  shifts reconstruct the true source columns);
+* pad/unpad round trip through the packed layout;
+* full-step agreement with the f64 oracle AND with the one-hot form;
+* the admissibility gate: an RCM-reordered cylinder mesh (large per-tile
+  offset sets) must fall back to the one-hot kernels and still be correct.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from fesom2_accelerate_tpu.config import FctAleConfig
+from fesom2_accelerate_tpu.mesh import generate_planar_mesh, random_fields
+from fesom2_accelerate_tpu.mesh.generate import generate_cylinder_mesh
+from fesom2_accelerate_tpu.ops import oracle
+from fesom2_accelerate_tpu.ops.pallas import step as pstep
+from fesom2_accelerate_tpu.ops.pallas.packed import build_packed_plan
+from fesom2_accelerate_tpu.ops.pallas.plan import BLOCK
+
+
+def _relerr(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.abs(a - b).max() / max(np.abs(b).max(), 1.0)
+
+
+def test_packed_plan_invariants(small_mesh):
+    mesh = small_mesh
+    _, ps = pstep.build_pallas_data(mesh)
+    assert ps.pack_K > 0, "structured preset must admit the packed layout"
+    pk = build_packed_plan(mesh, ps.tile, ps.Np)
+    # every edge in exactly one (slot, home) cell
+    assert (pk.einv >= 0).sum() == mesh.n_edges
+    e_ids = pk.einv[pk.einv >= 0]
+    assert len(np.unique(e_ids)) == mesh.n_edges
+    # home is the canonical first endpoint; level bound matches
+    k, h = np.nonzero(pk.einv >= 0)
+    e = pk.einv[k, h]
+    np.testing.assert_array_equal(h, mesh.edges[e, 0])
+    np.testing.assert_array_equal(pk.lev_home[k, h], mesh.nlev_edge[e])
+    # gather pair shifts reconstruct the true other-endpoint columns
+    P_g = sum(pk.Pk_g)
+    base = np.concatenate([[0], np.cumsum(pk.Pk_g)])
+    for t in range(pk.g_ind.shape[0]):
+        for p in range(P_g):
+            cols = np.nonzero(pk.g_ind[t, p])[0]
+            if not len(cols):
+                continue
+            k = int(np.searchsorted(base, p, side="right") - 1)
+            s = pk.g_wb[t, 1 + p] * BLOCK + pk.g_wb[t, 1 + P_g + p]
+            src = pk.g_wb[t, 0] * BLOCK + s + cols
+            home = t * ps.tile + cols
+            ed = pk.einv[k, home]
+            assert (ed >= 0).all()
+            np.testing.assert_array_equal(src, mesh.edges[ed, 1])
+
+
+def test_packed_pad_unpad_roundtrip(small_mesh):
+    mesh = small_mesh
+    pd, ps = pstep.build_pallas_data(mesh)
+    assert ps.pack_K > 0
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((ps.L, ps.Ed)).astype(np.float32)
+    packed = pstep._pack_edge_field(ps, pd, jnp.asarray(v))
+    assert packed.shape == (ps.pack_K * ps.Lp, ps.Np)
+    back = pstep._unpack_edge_field(ps, pd, packed)
+    np.testing.assert_array_equal(np.asarray(back), v)
+
+
+@pytest.mark.parametrize("iter_yn", [False, True])
+def test_packed_step_matches_onehot(small_mesh, iter_yn):
+    """Full packed chain vs the one-hot chain (same f32 inputs): both are
+    correct to f32 rounding; summation order differs, so compare with a
+    tight tolerance, and both against the f64 oracle."""
+    mesh = small_mesh
+    fields = random_fields(mesh, seed=11, dtype=np.float32)
+    s = {k: jnp.asarray(v, jnp.float32) for k, v in fields.items()}
+    cfg = FctAleConfig(dt=0.7, iter_yn=iter_yn, dtype=jnp.float32,
+                       flux_eps=1e-7)
+    pd_p, ps_p = pstep.build_pallas_data(mesh)
+    assert ps_p.pack_K > 0
+    pd_o, ps_o = pstep.build_pallas_data(mesh, pack_pmax=0)
+    assert ps_o.pack_K == 0
+    with pltpu.force_tpu_interpret_mode():
+        out_p = pstep.fct_ale_step_pallas(pd_p, ps_p, cfg, s)
+        out_o = pstep.fct_ale_step_pallas(pd_o, ps_o, cfg, s)
+    ref = oracle.fct_ale_step(
+        mesh, {k: v.astype(np.float64) for k, v in fields.items()},
+        vlimit=1, iter_yn=iter_yn, dt=0.7, flux_eps=1e-7,
+    )
+    for k, v in ref.items():
+        assert _relerr(out_p[k], v) < 2e-5, f"packed vs oracle: {k}"
+        assert _relerr(out_p[k], out_o[k]) < 1e-5, f"packed vs onehot: {k}"
+
+
+def test_cylinder_falls_back_to_onehot():
+    """RCM-ordered meshes have per-tile offset sets far beyond pack_pmax:
+    the gate must fall back to the one-hot kernels, which stay correct."""
+    mesh = generate_cylinder_mesh(48, 32, 12)
+    if isinstance(mesh, tuple):
+        mesh = mesh[0]
+    pd, ps = pstep.build_pallas_data(mesh)
+    assert ps.pack_K == 0, "cylinder/RCM must not take the packed path"
+    fields = random_fields(mesh, seed=4, dtype=np.float32)
+    s = {k: jnp.asarray(v, jnp.float32) for k, v in fields.items()}
+    cfg = FctAleConfig(dt=0.5, dtype=jnp.float32, flux_eps=1e-7)
+    with pltpu.force_tpu_interpret_mode():
+        out = pstep.fct_ale_step_pallas(pd, ps, cfg, s)
+    ref = oracle.fct_ale_step(
+        mesh, {k: v.astype(np.float64) for k, v in fields.items()},
+        vlimit=1, dt=0.5, flux_eps=1e-7,
+    )
+    for k in ("fct_plus", "fct_minus", "fct_adf_h", "del_ttf_advhoriz"):
+        assert _relerr(out[k], ref[k]) < 2e-5, k
