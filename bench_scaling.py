@@ -8,11 +8,18 @@ throughput over the virtual device mesh (set
 ``XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu``
 for an 8-way functional run).
 
-Prints one JSON line per device count.
+A HARNESS, not a smoke test: at every device count the sharded result is
+checked against the single-device solver (fails the run on mismatch), and
+``--min-efficiency`` turns the per-chip efficiency into a hard gate on
+real multi-chip hardware (virtual CPU meshes share one socket's memory
+bandwidth, so efficiency there is reported but only gated if asked).
+
+Prints one JSON line per device count + a final summary line.
 """
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -25,13 +32,31 @@ def main():
     ap.add_argument("--max-devices", type=int, default=0,
                     help="0 = all available")
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--min-efficiency", type=float, default=0.0,
+                    help="fail below this per-chip efficiency at N>=2 "
+                    "(use >=0.8 on real multi-chip hardware)")
+    ap.add_argument("--check-rtol", type=float, default=2e-6,
+                    help="sharded-vs-single tolerance (f32 summation order)")
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # honor JAX_PLATFORMS even against accelerator plugins that ignore the
+    # env var (the tunneled axon backend does — same guard as
+    # __graft_entry__.dryrun_multichip)
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     import jax.numpy as jnp
 
     from fesom2_accelerate_tpu.config import FctAleConfig
     from fesom2_accelerate_tpu.mesh import generate_planar_mesh, random_fields
+    from fesom2_accelerate_tpu.model.fct_ale import FctAleSolver
     from fesom2_accelerate_tpu.parallel import ShardedFctAleSolver
     from fesom2_accelerate_tpu.runtime.profiling import grid_points
 
@@ -45,12 +70,28 @@ def main():
     nmax = args.max_devices or len(devices)
     counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= nmax]
 
+    # single-device reference for the exactness gate (same n_steps)
+    ref_solver = FctAleSolver(mesh, cfg, backend=args.backend)
+    ref_state = ref_solver.run(ref_solver.init_state(fields), args.steps)
+    ref_lo = np.asarray(ref_state["fct_LO"], np.float64)
+    scale = max(np.abs(ref_lo).max(), 1.0)
+
     base_gps = None
+    failures = []
+    rows = []
     for n in counts:
         solver = ShardedFctAleSolver(mesh, cfg, devices=devices[:n],
                                      backend=args.backend)
         state = solver.init_state(fields)
         out = solver.run(state, args.steps)
+        # exactness gate: every device count must reproduce the
+        # single-device integration (owned nodes)
+        got = solver.gather_node(out["fct_LO"])
+        got = np.asarray(got, np.float64)[: ref_lo.shape[0]]
+        relerr = float(np.abs(got - ref_lo).max() / scale)
+        ok = relerr < args.check_rtol
+        if not ok:
+            failures.append(f"devices={n}: fct_LO relerr {relerr:.2e}")
         float(jnp.sum(out["fct_LO"]))  # sync
         t0 = time.perf_counter()
         out = solver.run(state, args.steps)
@@ -60,15 +101,35 @@ def main():
         per_chip = gps / n
         if base_gps is None:
             base_gps = per_chip
-        print(json.dumps({
+        eff = per_chip / base_gps
+        if n >= 2 and args.min_efficiency and eff < args.min_efficiency:
+            failures.append(f"devices={n}: efficiency {eff:.3f} < "
+                            f"{args.min_efficiency}")
+        row = {
             "metric": f"fct_ale_sharded_{args.preset}",
             "devices": n,
             "value": round(gps, 1),
             "unit": "grid-points/s",
             "per_chip": round(per_chip, 1),
-            "efficiency_vs_1": round(per_chip / base_gps, 4),
+            "efficiency_vs_1": round(eff, 4),
             "step_ms": round(dt * 1e3, 3),
-        }))
+            "exact_vs_single": ok,
+            "relerr_vs_single": relerr,
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    print(json.dumps({
+        "summary": "scaling",
+        "preset": args.preset,
+        "backend": args.backend,
+        "counts": counts,
+        "all_exact": not any(f.startswith("devices") and "relerr" in f
+                             for f in failures),
+        "failures": failures,
+    }))
+    if failures:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -127,10 +127,15 @@ def write_fesom_mesh(path: str, mesh: Mesh,
 
 
 def _read_table(path):
+    """Whitespace/comma-separated numeric rows; comment lines (leading
+    ``#``/``%``/``!``, a quirk of hand-edited mesh files in the wild) and
+    blank lines are skipped; CRLF tolerated."""
     rows = []
     with open(path) as f:
         for line in f:
-            parts = line.replace(",", " ").split()
-            if parts:
-                rows.append([float(p) for p in parts])
+            s = line.strip()
+            if not s or s[0] in "#%!":
+                continue
+            parts = s.replace(",", " ").split()
+            rows.append([float(p) for p in parts])
     return rows

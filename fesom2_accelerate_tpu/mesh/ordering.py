@@ -95,6 +95,55 @@ def reorder_mesh(mesh: Mesh, perm: np.ndarray | None = None):
     return new_mesh, perm
 
 
+def rcb_order(mesh: Mesh, n_parts: int):
+    """Recursive coordinate bisection: a surface-minimizing 2-D partition
+    (the reference inherits general graph partitions from host FESOM,
+    docs/refactoring.md:31; RCB is the coordinate-space classic).
+
+    Returns ``(perm, counts)``: a node permutation (``perm[new] = old``)
+    that makes every RCB part a CONTIGUOUS range of the new numbering —
+    so the stripe partitioner's [H | owned | H] machinery and multi-hop
+    packed exchange apply unchanged to the 2-D partition — plus the
+    per-part owned-node counts.  Within each part nodes keep their original
+    relative (bandwidth-ordered) numbering; parts are emitted in recursion
+    order, which keeps spatially adjacent parts close in part index (small
+    exchange hop radius).
+
+    Apply with :func:`reorder_mesh` and pass ``counts`` to
+    ``parallel.partition_mesh``."""
+    xy = mesh.node_xy
+    out_chunks = []
+
+    def rec(ids, k):
+        if k == 1:
+            out_chunks.append(ids)
+            return
+        k1 = k // 2
+        # split along the longer extent, proportionally to the child counts
+        ext = xy[ids].max(axis=0) - xy[ids].min(axis=0)
+        axis = int(np.argmax(ext))
+        order = np.argsort(xy[ids, axis], kind="stable")
+        cut = (len(ids) * k1) // k
+        rec(np.sort(ids[order[:cut]]), k1)
+        rec(np.sort(ids[order[cut:]]), k - k1)
+
+    rec(np.arange(mesh.n_nodes, dtype=np.int64), n_parts)
+    perm = np.concatenate(out_chunks).astype(np.int64)
+    counts = np.array([len(c) for c in out_chunks], dtype=np.int64)
+    return perm, counts
+
+
+def halo_fraction(mesh: Mesh, owner: np.ndarray, n_parts: int) -> float:
+    """Sum of per-part halo sizes / N — the partition-quality metric the
+    exchange volume is proportional to."""
+    total = 0
+    for p in range(n_parts):
+        sel = (owner[mesh.elem_nodes] == p).any(axis=1)
+        nodes = np.unique(mesh.elem_nodes[sel])
+        total += int((owner[nodes] != p).sum())
+    return total / mesh.n_nodes
+
+
 def bandwidth(mesh: Mesh) -> int:
     """Max |i - j| over element node pairs — the locality metric the Pallas
     window size depends on."""

@@ -27,7 +27,8 @@ def _ru(x: int, m: int) -> int:
 
 
 class Stress2RhsSolver:
-    def __init__(self, mesh: Mesh, dtype=jnp.float32, backend: str = "xla"):
+    def __init__(self, mesh: Mesh, dtype=jnp.float32, backend: str = "xla",
+                 tile: "int | None" = None):
         self.mesh = mesh
         self.dtype = dtype
         self.backend = backend
@@ -38,8 +39,11 @@ class Stress2RhsSolver:
                 BLOCK,
                 build_gather_plan,
             )
-            from fesom2_accelerate_tpu.ops.pallas.step import TILE
+            from fesom2_accelerate_tpu.ops.pallas.step import TILE_ONEHOT
 
+            # one-hot scatter: contraction cost grows with window width, so
+            # the small tile wins (utils/tuning.tune_stress2rhs sweep)
+            TILE = TILE_ONEHOT if tile is None else tile
             assert dtype == jnp.float32, "pallas backend is f32-only"
             N, E = mesh.n_nodes, mesh.n_elems
             ne_valid = np.arange(mesh.node_elems.shape[1])[None, :] < (

@@ -59,6 +59,27 @@ _CHUNK = 1024  # window chunk for one-hot contractions (bounds VMEM use)
 # VMEM — raise the cap rather than shrinking tiles.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
+_INTERPRET = False
+
+
+def set_interpret(on: bool) -> None:
+    """Process-wide plain-interpret switch for ALL FCT-ALE pallas calls.
+
+    Used on CPU hosts where ``pltpu.force_tpu_interpret_mode`` cannot run:
+    the TPU-sim's per-device callbacks deadlock under MULTI-PROCESS
+    shard_map (observed: 2-process gloo workers hang in the first step),
+    while plain ``interpret=True`` lowers to pure JAX ops that compile and
+    partition like any other program."""
+    global _INTERPRET
+    _INTERPRET = on
+
+
+def pallas_call(*args, **kw):
+    """pl.pallas_call honoring :func:`set_interpret`."""
+    if _INTERPRET:
+        kw.setdefault("interpret", True)
+    return pl.pallas_call(*args, **kw)
+
 
 def _lcol(ref):
     """Read a [1, C, 1] tile-column block -> [C, 1]."""
@@ -345,7 +366,7 @@ def bounds_pallas(fct_LO_pad, ttf_pad, lidx_lo, lev_lo, lidx_hi, lev_hi,
     kernel = functools.partial(_bounds_kernel, Lp=Lp, TN=TN, K1=K_lo,
                                K2=K_hi, J1=J1, J2=J2, vlimit=vlimit,
                                chunk=chunk)
-    return pl.pallas_call(
+    return pallas_call(
         kernel,
         name="fct_bounds",
         grid_spec=grid_spec,
@@ -410,8 +431,11 @@ def _bounds_dia_kernel(wb_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref, *refs,
         # left-shift by rem expressed as a POSITIVE roll: Mosaic's dynamic
         # roll silently miscompiles negative shifts on real TPUs (interpret
         # mode wraps them, hiding the bug — caught by the on-chip parity
-        # probe); pltpu.roll also rejects negative static shifts
-        sh = jnp.where(rem > 0, TN + BLOCK - rem, 0)
+        # probe); pltpu.roll also rejects negative static shifts.
+        # Explicit int32 constants: under jax_enable_x64 mixed promotion
+        # emits an int64 convert that Mosaic cannot lower (infinite
+        # recursion in its convert helper)
+        sh = jnp.where(rem > 0, jnp.int32(TN + BLOCK) - rem, jnp.int32(0))
         r = pltpu.roll(seg, sh, axis=1)[:, :TN]
         # per-(node, d) level bound of the connecting edge; 0 = no neighbor
         # at this offset (also masks out-of-window garbage lanes)
@@ -450,7 +474,7 @@ def bounds_dia_pallas(fct_LO_pad, ttf_pad, dia_wb, dia_lev, nlev_nod_row, *,
     )
     kernel = functools.partial(_bounds_dia_kernel, Lp=Lp, TN=tile, D=D, J=J,
                                vlimit=vlimit)
-    return pl.pallas_call(
+    return pallas_call(
         kernel,
         name="fct_bounds_dia",
         grid_spec=grid_spec,
@@ -580,7 +604,7 @@ def limit_pallas(adf_v_pad, tt_stacked, area_inv_pad, adf_h_pad, starts_col,
     kernel = functools.partial(_limit_kernel, Lp=Lp, Lpv=Lpv, L=L, TN=TN,
                                J1=J1, J2=J2, dt=dt, eps=flux_eps,
                                iter_yn=iter_yn, chunk=chunk)
-    return pl.pallas_call(
+    return pallas_call(
         kernel,
         name="fct_limit",
         grid_spec=grid_spec,
@@ -655,7 +679,7 @@ def b3h_pallas(pm_stacked, adf_h_pad, lidx_lo, lidx_hi, wb2, nlev_edge_row,
     )
     kernel = functools.partial(_b3h_kernel, Lp=Lp, TE=TE, J1=J1, J2=J2,
                                chunk=chunk)
-    return pl.pallas_call(
+    return pallas_call(
         kernel,
         name="fct_b3h",
         grid_spec=grid_spec,
@@ -726,7 +750,7 @@ def b3h_fixup_pallas(pm_stacked, adf_h_pad, out_prev, resid_prev, lidx_lo,
     kernel = functools.partial(_b3h_fix_kernel, Lp=Lp, TE=TE, J1=J1, J2=J2,
                                chunk=chunk)
     n_in = 2 + 4 + J1 + J2  # scalar prefetch + fixed + windows
-    return pl.pallas_call(
+    return pallas_call(
         kernel,
         name="fct_b3h_fixup",
         grid_spec=grid_spec,
@@ -837,7 +861,7 @@ def update_pallas(adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad,
     kernel = functools.partial(_update_kernel, Lp=Lp, Lpv=Lpv, L=L, TN=TN,
                                J1=J1, J2=J2, dt=dt, iter_yn=iter_yn,
                                chunk=chunk)
-    return pl.pallas_call(
+    return pallas_call(
         kernel,
         name="fct_update",
         grid_spec=grid_spec,
@@ -894,7 +918,7 @@ def a2_pallas(src_stacked, lidx, wb2, nlev_elem_row, *, tile, nblocks,
     )
     kernel = functools.partial(_a2_kernel, Lp=Lp, TE=TE, J=nblocks,
                                big=bignumber)
-    return pl.pallas_call(
+    return pallas_call(
         kernel,
         name="fct_a2",
         grid_spec=grid_spec,
@@ -971,7 +995,7 @@ def stress2rhs_pallas(elem_packed, ids0, ids1, ids2, inv_areamass_row,
         out_specs=_tile_spec((8, TN)),
     )
     kernel = functools.partial(_s2r_kernel, TN=TN, J=J)
-    return pl.pallas_call(
+    return pallas_call(
         kernel,
         name="stress2rhs",
         grid_spec=grid_spec,

@@ -33,6 +33,7 @@ from fesom2_accelerate_tpu.ops.pallas.kernels import (
     _tile_spec,
     _vertical_shift_rows,
     _win_specs,
+    pallas_call,
 )
 
 
@@ -66,7 +67,9 @@ def _pair_shift(scr, rows_lo, rows_hi, wb_ref, i, P, p, TN):
     rem = wb_ref[i, 1 + P + p]
     seg = scr[rows_lo:rows_hi,
               pl.ds(pl.multiple_of(q * BLOCK, BLOCK), TN + BLOCK)]
-    sh = jnp.where(rem > 0, TN + BLOCK - rem, 0)
+    # explicit int32: under jax_enable_x64 mixed promotion emits an int64
+    # convert that Mosaic cannot lower (see kernels._bounds_dia_kernel)
+    sh = jnp.where(rem > 0, jnp.int32(TN + BLOCK) - rem, jnp.int32(0))
     return pltpu.roll(seg, sh, axis=1)[:, :TN]
 
 
@@ -215,7 +218,7 @@ def limit_packed_pallas(adf_v_pad, tt_stacked, area_inv_pad, F_packed,
     if iter_yn:
         out_shape = out_shape + (
             jax.ShapeDtypeStruct((Lpv, Np), jnp.float32),)
-    return pl.pallas_call(
+    return pallas_call(
         kernel,
         name="fct_limit_packed",
         grid_spec=grid_spec,
@@ -302,7 +305,7 @@ def b3h_packed_pallas(pm_stacked, F_packed, lev_home, g_ind, g_wb, *, tile,
     if with_resid:
         out_shape = out_shape + (
             jax.ShapeDtypeStruct((K * Lp, Np), jnp.float32),)
-    out = pl.pallas_call(
+    out = pallas_call(
         kernel,
         name="fct_b3h_packed",
         grid_spec=grid_spec,
@@ -372,7 +375,7 @@ def b3h_packed_fixup_pallas(pm_stacked, F_packed, out_prev, resid_prev,
         args.append(resid_prev)
         out_shape = out_shape + (
             jax.ShapeDtypeStruct(resid_prev.shape, jnp.float32),)
-    out = pl.pallas_call(
+    out = pallas_call(
         kernel,
         name="fct_b3h_packed_fixup",
         grid_spec=grid_spec,
@@ -467,7 +470,7 @@ def update_packed_pallas(adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad,
     kernel = functools.partial(_update_packed_kernel, Lp=Lp, Lpv=Lpv, L=L,
                                TN=TN, K=K, Pk=Pk, J=J, dt=dt,
                                iter_yn=iter_yn)
-    return pl.pallas_call(
+    return pallas_call(
         kernel,
         name="fct_update_packed",
         grid_spec=grid_spec,

@@ -44,7 +44,13 @@ from fesom2_accelerate_tpu.ops.pallas.plan import (
     build_gather_plan,
 )
 
-TILE = 256
+# default tiles by kernel form (tuner-justified, perf/tune_*.json): the
+# packed/DIA kernels are window-DMA-bound — larger tiles amortize the
+# per-tile window over-read ((tile + 2*bandwidth) / tile) — while the
+# one-hot fallback's contraction cost grows with window width, favoring
+# small tiles (round-2 sweep).
+TILE = 1024
+TILE_ONEHOT = 256
 
 
 def _ru(x: int, m: int) -> int:
@@ -234,12 +240,17 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
     ``halo_mask`` [n_nodes] bool: marks halo node columns (sharded runs).
     Edge tiles touching a halo node become the post-exchange b3h fixup
     set; all other edge tiles run before/during the exchange."""
+    tile_arg = tile
     if common is not None:
         tile = common.tile
         chunk = common.chunk
         scatter_chunk = common.scatter_chunk
     else:
-        tile = TILE if tile is None else tile
+        if tile is None:
+            # the big tile only pays off when it amortizes the window
+            # over-read across many tiles; small meshes keep the small tile
+            # (also keeps the interpret-mode CPU test suite fast)
+            tile = TILE if mesh.n_nodes >= 2 * TILE else TILE_ONEHOT
         chunk = 1024 if chunk is None else chunk
         scatter_chunk = 512 if scatter_chunk is None else scatter_chunk
     N, E, Ed, L = mesh.n_nodes, mesh.n_elems, mesh.n_edges, mesh.n_layers
@@ -414,6 +425,14 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
             pk = None
     else:
         pk = build_packed_plan(mesh, tile, Np, pack_pmax=pack_pmax)
+        if pk is None and tile_arg is None and tile != TILE_ONEHOT:
+            # no offset regularity -> one-hot kernels, whose contraction
+            # cost favors the small default tile: rebuild at that size
+            return build_pallas_data(
+                mesh, tile=TILE_ONEHOT, chunk=chunk,
+                scatter_chunk=scatter_chunk, dia_max=dia_max,
+                pack_pmax=pack_pmax, halo_mask=halo_mask, xp=xp,
+            )
 
     # per-incidence level bounds in the same k-major column layout as the
     # plans (one per side)

@@ -109,9 +109,23 @@ class PartitionedMesh:
         return self.H
 
 
-def partition_mesh(mesh: Mesh, n_parts: int) -> PartitionedMesh:
+def partition_mesh(mesh: Mesh, n_parts: int,
+                   counts: "np.ndarray | None" = None) -> PartitionedMesh:
+    """Partition into P contiguous owned ranges.
+
+    ``counts`` (optional, [P]): per-part owned-node counts — pass the
+    counts from :func:`mesh.ordering.rcb_order` after reordering the mesh
+    with its permutation to realize a 2-D (recursive-bisection) partition
+    through the same contiguous-range machinery (each RCB part is a
+    contiguous range of the reordered numbering).  Default: equal split
+    (1-D stripes of the bandwidth-ordered numbering)."""
     N = mesh.n_nodes
-    bounds = np.linspace(0, N, n_parts + 1).astype(np.int64)
+    if counts is None:
+        bounds = np.linspace(0, N, n_parts + 1).astype(np.int64)
+    else:
+        assert len(counts) == n_parts and int(np.sum(counts)) == N
+        bounds = np.zeros(n_parts + 1, dtype=np.int64)
+        np.cumsum(counts, out=bounds[1:])
     owner = np.empty(N, dtype=np.int32)
     for p in range(n_parts):
         owner[bounds[p] : bounds[p + 1]] = p

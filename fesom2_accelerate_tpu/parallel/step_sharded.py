@@ -185,7 +185,8 @@ class ShardedFctAleSolver:
 
     def __init__(self, mesh: Mesh, cfg: FctAleConfig = FctAleConfig(),
                  devices=None, axis_name: str = "p", backend: str = "xla",
-                 exchange: str = "auto"):
+                 exchange: str = "auto",
+                 part_counts: "np.ndarray | None" = None):
         self.mesh = mesh
         self.cfg = cfg
         self.axis_name = axis_name
@@ -193,7 +194,10 @@ class ShardedFctAleSolver:
         devices = devices if devices is not None else jax.devices()
         self.n_parts = len(devices)
         self.jax_mesh = JaxMesh(np.asarray(devices), (axis_name,))
-        self.pm: PartitionedMesh = part_mod.partition_mesh(mesh, self.n_parts)
+        # part_counts: realize a 2-D RCB partition (mesh.ordering.rcb_order
+        # + reorder_mesh) through the contiguous-range machinery
+        self.pm: PartitionedMesh = part_mod.partition_mesh(
+            mesh, self.n_parts, counts=part_counts)
         pm = self.pm
 
         if exchange == "auto":

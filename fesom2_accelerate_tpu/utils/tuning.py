@@ -3,11 +3,23 @@
 The reference ships one kernel_tuner module per kernel that sweeps launch
 configurations, validates each against a numpy reference, and reports the
 effective bandwidth of the best (kernels/fct_ale_a1.py:57-96).  This is the
-TPU equivalent: sweep the Pallas tile size / contraction chunk, validate
-each configuration against the numpy oracle, time it, and report achieved
-bandwidth against the bytes models.
+TPU equivalent, one entry per kernel family:
 
-Results can be dumped to JSON like the reference's ``--store`` flag.
+* ``tune_kernels``  — K1 bounds (dia/one-hot), K2 limit, K3 b3h, K4 update
+  (packed/one-hot), sweeping (form, tile, chunk, scatter_chunk); every
+  configuration's full chain is validated against the f64 numpy oracle
+  before it is timed (the reference's ``answer=`` discipline), and each
+  kernel is timed inside a jitted lax.scan with a forced data dependency
+  (true device time on the tunneled backend).
+* ``tune_a2``       — the standalone a2 element-bounds kernel.
+* ``tune_step``     — the whole fused step.
+* ``tune_stress2rhs`` — the second workload's scatter kernel.
+
+Results carry the achieved GB/s against the reference-style bytes models
+(runtime/profiling.py) and can be dumped to JSON like the reference's
+``--store`` flag (scripts/tune.py).  The shipped defaults (step.TILE,
+step.TILE_ONEHOT, chunk sizes) are the winners of these sweeps on the
+CORE2 preset — see perf/tune_*.json.
 """
 
 from __future__ import annotations
@@ -32,6 +44,245 @@ def _sync(x):
     import jax.numpy as jnp
 
     return float(jnp.sum(x[0] if isinstance(x, tuple) else x))
+
+
+def best(results):
+    ok = [r for r in results if r.ok]
+    return min(ok, key=lambda r: r.ms) if ok else None
+
+
+def store(results, path):
+    with open(path, "w") as f:
+        json.dump([dataclasses.asdict(r) for r in results], f, indent=2)
+
+
+def _relerr(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.abs(a - b).max() / max(np.abs(b).max(), 1.0))
+
+
+def _kernel_bytes(mesh, itemsize=4):
+    """Per-family reference-style bytes models (BASELINE.md table)."""
+    nod = int(np.sum(mesh.nlev_nod - 1))
+    edge = int(np.sum(mesh.nlev_edge))
+    deg_d = int(np.sum(mesh.node_edges_num * (mesh.nlev_nod - 1)))
+    vint = int(np.sum(mesh.nlev_nod))
+    f = itemsize
+    return {
+        # a1+a2+a3 fused: read lo/ttf, neighbor gather per incidence,
+        # write tmax/tmin
+        "bounds": (4 * nod + 2 * deg_d) * f,
+        # b1v+b1h+b2+b3v: read adf_v, tt pair, area_inv, adf_h per
+        # incidence; write pm pair, limited adf_v
+        "limit": (2 * vint + 5 * nod + deg_d) * f,
+        # b3h: gather pm at both ends, read + write adf_h
+        "b3h": 6 * edge * f,
+        # c: read 7 node fields + adf_v + adf_h per incidence; write 2
+        "update": (9 * nod + vint + deg_d) * f,
+    }
+
+
+def default_configs(packed_ok: bool):
+    """The swept launch-configuration space (form, tile, chunks)."""
+    cfgs = []
+    if packed_ok:
+        for tile in (256, 512, 1024):
+            cfgs.append(dict(form="packed", tile=tile))
+    for tile, chunk, sc in ((256, 1024, 512), (256, 512, 256),
+                            (512, 1024, 512)):
+        cfgs.append(dict(form="onehot", tile=tile, chunk=chunk,
+                         scatter_chunk=sc))
+    return cfgs
+
+
+class _Chain:
+    """Per-config kernel callables K1..K4 (form-dispatched), built once."""
+
+    def __init__(self, mesh, config, cfg):
+        from fesom2_accelerate_tpu.ops.pallas import step as pstep
+
+        kw = dict(tile=config["tile"])
+        if config["form"] == "onehot":
+            kw.update(pack_pmax=0, dia_max=0,
+                      chunk=config.get("chunk"),
+                      scatter_chunk=config.get("scatter_chunk"))
+        self.pd, self.ps = pstep.build_pallas_data(mesh, **kw)
+        self.pstep = pstep
+        self.cfg = cfg
+        self.packed = self.ps.pack_K > 0
+        if config["form"] == "packed" and not self.packed:
+            raise ValueError("mesh does not admit the packed layout")
+
+    def k1(self, pd, lo, ttf):
+        from fesom2_accelerate_tpu.ops.pallas import kernels
+
+        ps, cfg = self.ps, self.cfg
+        if ps.a3f_dia_D:
+            return kernels.bounds_dia_pallas(
+                lo, ttf, pd.a3f_dia_wb, pd.a3f_dia_lev, pd.nlev_nod_row,
+                tile=ps.tile, nblocks=ps.a3f_un_nblocks, D=ps.a3f_dia_D,
+                vlimit=cfg.vlimit)
+        return kernels.bounds_pallas(
+            lo, ttf, pd.a3f_lidx_lo, pd.a3f_lev_lo, pd.a3f_lidx_hi,
+            pd.a3f_lev_hi, pd.a3f_wb, pd.nlev_nod_row, tile=ps.tile,
+            nblocks_lo=ps.a3f_lo_nblocks, nblocks_hi=ps.a3f_hi_nblocks,
+            K_lo=ps.K_lo, K_hi=ps.K_hi, vlimit=cfg.vlimit, chunk=ps.chunk)
+
+    def k2(self, pd, s, tt):
+        from fesom2_accelerate_tpu.ops.pallas import kernels, kernels_packed
+
+        ps, cfg = self.ps, self.cfg
+        if self.packed:
+            return kernels_packed.limit_packed_pallas(
+                s["fct_adf_v"], tt, pd.area_inv_pad, s["fct_adf_h"],
+                pd.pk_lev_home, pd.pk_sc_lev, pd.pk_sc_wb, pd.nlev_nod_row,
+                tile=ps.tile, J=ps.pack_J_sc, K=ps.pack_K, Pk=ps.pack_Pk_s,
+                L=ps.L, dt=float(cfg.dt), flux_eps=float(cfg.flux_eps))[:2]
+        return kernels.limit_pallas(
+            s["fct_adf_v"], tt, pd.area_inv_pad, s["fct_adf_h"],
+            pd.starts_col, pd.ends_col, pd.nlev_edge_row, pd.ne_wb,
+            pd.nlev_nod_row, tile=ps.tile, nblocks_lo=ps.ne_lo_nblocks,
+            nblocks_hi=ps.ne_hi_nblocks, L=ps.L, dt=float(cfg.dt),
+            flux_eps=float(cfg.flux_eps), chunk=ps.scatter_chunk)[:2]
+
+    def k3(self, pd, s, pm):
+        from fesom2_accelerate_tpu.ops.pallas import kernels, kernels_packed
+
+        ps = self.ps
+        if self.packed:
+            return kernels_packed.b3h_packed_pallas(
+                pm, s["fct_adf_h"], pd.pk_lev_home, pd.pk_g_ind, pd.pk_g_wb,
+                tile=ps.tile, J=ps.pack_J_g, K=ps.pack_K, Pk=ps.pack_Pk_g,
+                with_resid=False)[0]
+        return kernels.b3h_pallas(
+            pm, s["fct_adf_h"], pd.b3h_lidx_lo, pd.b3h_lidx_hi, pd.b3h_wb,
+            pd.nlev_edge_row, tile=ps.tile, nblocks_lo=ps.b3h_lo_nblocks,
+            nblocks_hi=ps.b3h_hi_nblocks, chunk=ps.chunk)[0]
+
+    def k4(self, pd, s, av, ah):
+        from fesom2_accelerate_tpu.ops.pallas import kernels, kernels_packed
+
+        ps, cfg = self.ps, self.cfg
+        if self.packed:
+            return kernels_packed.update_packed_pallas(
+                av, s["ttf"], s["hnode"], s["hnode_new"], s["fct_LO"],
+                s["del_ttf_advvert"], s["del_ttf_advhoriz"],
+                pd.area_inv_pad, ah, pd.pk_lev_home, pd.pk_sc_lev,
+                pd.pk_sc_wb, pd.nlev_nod_row, tile=ps.tile, J=ps.pack_J_sc,
+                K=ps.pack_K, Pk=ps.pack_Pk_s, L=ps.L, dt=float(cfg.dt),
+                iter_yn=cfg.iter_yn)
+        return kernels.update_pallas(
+            av, s["ttf"], s["hnode"], s["hnode_new"], s["fct_LO"],
+            s["del_ttf_advvert"], s["del_ttf_advhoriz"], pd.area_inv_pad,
+            ah, pd.starts_col, pd.ends_col, pd.nlev_edge_row, pd.ne_wb,
+            pd.nlev_nod_row, tile=ps.tile, nblocks_lo=ps.ne_lo_nblocks,
+            nblocks_hi=ps.ne_hi_nblocks, L=ps.L, dt=float(cfg.dt),
+            iter_yn=cfg.iter_yn, chunk=ps.scatter_chunk)
+
+
+def tune_kernels(mesh, configs=None, iters=30, rtol=2e-5, preset_name=""):
+    """Sweep per-kernel launch configs; validate the FULL chain of each
+    config against the f64 oracle, then time each kernel under scan.
+
+    Returns {family: [TuneResult, ...]}."""
+    import jax
+    import jax.numpy as jnp
+
+    from fesom2_accelerate_tpu.config import FctAleConfig
+    from fesom2_accelerate_tpu.mesh.generate import random_fields
+    from fesom2_accelerate_tpu.ops import oracle
+    from fesom2_accelerate_tpu.ops.pallas import step as pstep
+
+    cfg = FctAleConfig(dt=0.5, dtype=jnp.float32, flux_eps=1e-7)
+    fields = random_fields(mesh, seed=0, dtype=np.float32)
+    ref = oracle.fct_ale_step(
+        mesh, {k: v.astype(np.float64) for k, v in fields.items()},
+        vlimit=1, dt=float(cfg.dt), flux_eps=float(cfg.flux_eps))
+    nb = _kernel_bytes(mesh)
+
+    # packed admissibility probe (cheap, host-only)
+    probe = pstep.build_pallas_data(mesh, xp=np)[1]
+    if configs is None:
+        configs = default_configs(probe.pack_K > 0)
+
+    out = {f: [] for f in ("bounds", "limit", "b3h", "update")}
+    eps = jnp.float32(1e-30)
+    for config in configs:
+        ch = _Chain(mesh, config, cfg)
+        pd, ps = ch.pd, ch.ps
+        state = pstep.pad_state(
+            ps, {k: jnp.asarray(v) for k, v in fields.items()}, pd)
+        Lp, L, N = ps.Lp, ps.L, ps.N
+
+        # ---- validate the chain vs the oracle --------------------------
+        tt = ch.k1(pd, state["fct_LO"], state["ttf"])
+        pm, av = ch.k2(pd, state, tt)
+        ah = ch.k3(pd, state, pm)
+        o1, o2 = ch.k4(pd, state, av, ah)
+        ah_nat = (pstep._unpack_edge_field(ps, pd, ah) if ch.packed
+                  else ah[:L, :ps.Ed])
+        errs = {
+            "bounds": max(_relerr(tt[:L, :N], ref["fct_ttf_max"]),
+                          _relerr(tt[Lp:Lp + L, :N], ref["fct_ttf_min"])),
+            "limit": max(_relerr(pm[:L, :N], ref["fct_plus"]),
+                         _relerr(pm[Lp:Lp + L, :N], ref["fct_minus"]),
+                         _relerr(av[:L + 1, :N], ref["fct_adf_v"])),
+            "b3h": _relerr(ah_nat, ref["fct_adf_h"]),
+            "update": max(_relerr(o1[:L, :N], ref["del_ttf_advvert"]),
+                          _relerr(o2[:L, :N], ref["del_ttf_advhoriz"])),
+        }
+
+        # ---- time each family under scan (forced dependency) ----------
+        def scan_k1(pd, s):
+            def body(lo, _):
+                t = ch.k1(pd, lo, s["ttf"])
+                return lo + eps * t[:Lp], None
+            return jax.lax.scan(body, s["fct_LO"], None, length=iters)[0]
+
+        def scan_k2(pd, s):
+            def body(t, _):
+                p, _a = ch.k2(pd, s, t)
+                return t + eps * p, None
+            return jax.lax.scan(body, tt, None, length=iters)[0]
+
+        def scan_k3(pd, s):
+            def body(p, _):
+                a = ch.k3(pd, s, p)
+                if ch.packed:
+                    d = a[:2 * Lp, :ps.Np]
+                else:
+                    d = jnp.concatenate([a[:Lp, :ps.Np], a[:Lp, :ps.Np]])
+                return p + eps * d, None
+            return jax.lax.scan(body, pm, None, length=iters)[0]
+
+        def scan_k4(pd, s):
+            def body(a, _):
+                x1, x2 = ch.k4(pd, s, a, ah)
+                return a + eps * jnp.concatenate(
+                    [x1, x2])[:a.shape[0]], None
+            return jax.lax.scan(body, av, None, length=iters)[0]
+
+        scans = {"bounds": scan_k1, "limit": scan_k2, "b3h": scan_k3,
+                 "update": scan_k4}
+        for fam, scan in scans.items():
+            jf = jax.jit(scan)
+            _sync(jf(pd, state))
+            t0 = time.perf_counter()
+            _sync(jf(pd, state))
+            ms = (time.perf_counter() - t0) / iters * 1e3
+            form = config["form"]
+            if fam == "bounds":
+                form = "dia" if ps.a3f_dia_D else "onehot"
+            out[fam].append(TuneResult(
+                params={**config, "kernel_form": form,
+                        "preset": preset_name},
+                ms=round(ms, 4),
+                gbps=round(nb[fam] / (ms * 1e-3) / 1e9, 2),
+                max_relerr=errs[fam],
+                ok=bool(errs[fam] < rtol),
+            ))
+    return out
 
 
 def tune_a2(mesh, tiles=(128, 256, 512), iters=20, rtol=1e-5):
@@ -93,7 +344,7 @@ def tune_a2(mesh, tiles=(128, 256, 512), iters=20, rtol=1e-5):
     return results
 
 
-def tune_step(mesh, tiles=(256, 512), steps=10, rtol=1e-4,
+def tune_step(mesh, tiles=(256, 512, 1024), steps=10, rtol=1e-4,
               preset_name=""):
     """Sweep the fused Pallas step's tile size; validate each configuration
     against the f64 numpy oracle; report time + throughput.
@@ -110,7 +361,6 @@ def tune_step(mesh, tiles=(256, 512), steps=10, rtol=1e-4,
     from fesom2_accelerate_tpu.mesh.generate import random_fields
     from fesom2_accelerate_tpu.model.fct_ale import FctAleSolver
     from fesom2_accelerate_tpu.ops import oracle
-    from fesom2_accelerate_tpu.ops.pallas import step as pstep
     from fesom2_accelerate_tpu.runtime.profiling import (
         fct_ale_step_bytes,
         grid_points,
@@ -143,7 +393,8 @@ def tune_step(mesh, tiles=(256, 512), steps=10, rtol=1e-4,
         _sync(run["fct_adf_h"])
         ms = (time.perf_counter() - t0) / steps * 1e3
         results.append(TuneResult(
-            params=dict(tile=tile, preset=preset_name),
+            params=dict(tile=tile, preset=preset_name,
+                        form="packed" if solver.ps.pack_K else "onehot"),
             ms=round(ms, 4),
             gbps=round(nbytes / (ms * 1e-3) / 1e9, 2),
             max_relerr=float(err),
@@ -152,11 +403,41 @@ def tune_step(mesh, tiles=(256, 512), steps=10, rtol=1e-4,
     return results
 
 
-def best(results):
-    ok = [r for r in results if r.ok]
-    return min(ok, key=lambda r: r.ms) if ok else None
+def tune_stress2rhs(mesh, tiles=(128, 256, 512), iters=20, rtol=1e-5):
+    """Sweep the stress2rhs Pallas scatter's tile size vs the XLA backend
+    (the f64-vs-oracle gate lives in the CPU test suite; on-device the XLA
+    f32 path is the available reference)."""
+    import jax.numpy as jnp
 
+    from fesom2_accelerate_tpu.model.stress2rhs import Stress2RhsSolver
+    from fesom2_accelerate_tpu.runtime.profiling import stress2rhs_bytes
 
-def store(results, path):
-    with open(path, "w") as f:
-        json.dump([dataclasses.asdict(r) for r in results], f, indent=2)
+    rng = np.random.default_rng(7)
+    E, N = mesh.n_elems, mesh.n_nodes
+    host = (np.abs(rng.standard_normal(E)) + 0.1, rng.standard_normal(E),
+            *rng.standard_normal((3, E)), rng.standard_normal((6, E)),
+            rng.standard_normal(E), rng.standard_normal(N),
+            *rng.standard_normal((2, N)))
+    ref = Stress2RhsSolver(mesh, dtype=jnp.float32, backend="xla")(*host)
+    nbytes = stress2rhs_bytes(mesh, 4)
+    results = []
+    for tile in tiles:
+        solver = Stress2RhsSolver(mesh, dtype=jnp.float32,
+                                  backend="pallas", tile=tile)
+        dargs = [jnp.asarray(a, jnp.float32) for a in host]
+        out = solver(*dargs)
+        err = max(_relerr(out[0], ref[0]), _relerr(out[1], ref[1]))
+        _sync(out[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = solver(*dargs)
+        _sync(out[0])
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        results.append(TuneResult(
+            params=dict(tile=tile),
+            ms=round(ms, 4),
+            gbps=round(nbytes / (ms * 1e-3) / 1e9, 2),
+            max_relerr=float(err),
+            ok=bool(err < rtol),
+        ))
+    return results

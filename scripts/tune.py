@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Per-kernel autotuning sweeps on the real chip, with stored artifacts.
+
+The TPU counterpart of running the reference's ``python kernels/*.py
+--store`` harnesses (kernels/fct_ale_a1.py:98-120): every swept launch
+configuration is validated against the f64 numpy oracle before it is timed,
+and the results (ms, achieved GB/s vs the bytes models, max relerr) are
+written to one JSON artifact per kernel family under perf/.
+
+Usage: python scripts/tune.py [--preset core2] [--families bounds,limit]
+       [--outdir perf]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="core2")
+    ap.add_argument("--families", default="kernels,a2,step,stress2rhs",
+                    help="comma list: kernels (K1-K4), a2, step, stress2rhs")
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--outdir", default="perf")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_f2t")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from fesom2_accelerate_tpu.mesh import generate_planar_mesh
+    from fesom2_accelerate_tpu.utils import tuning
+
+    mesh = generate_planar_mesh(preset=args.preset)
+    os.makedirs(args.outdir, exist_ok=True)
+    fams = args.families.split(",")
+
+    def dump(name, results):
+        path = os.path.join(args.outdir, f"tune_{args.preset}_{name}.json")
+        tuning.store(results, path)
+        b = tuning.best(results)
+        print(json.dumps({"family": name, "stored": path,
+                          "best": dataclasses.asdict(b) if b else None}))
+
+    if "kernels" in fams:
+        per = tuning.tune_kernels(mesh, iters=args.iters,
+                                  preset_name=args.preset)
+        for fam, results in per.items():
+            dump(fam, results)
+    if "a2" in fams:
+        dump("a2", tuning.tune_a2(mesh))
+    if "step" in fams:
+        dump("step", tuning.tune_step(mesh, steps=args.iters,
+                                      preset_name=args.preset))
+    if "stress2rhs" in fams:
+        dump("stress2rhs", tuning.tune_stress2rhs(mesh))
+
+
+if __name__ == "__main__":
+    main()

@@ -3,18 +3,24 @@ sharded FCT-ALE step over a process-spanning device mesh (gloo CPU
 collectives standing in for ICI/DCN).
 
 Usage: python multiproc_worker.py <coordinator> <num_procs> <proc_id>
-       <backend> <outfile>
+       <backend> <outfile> [<n_steps> <iter_yn>]
 
-Writes the gathered (global) fct_plus/del_ttf_advvert owned-node results to
-<outfile> (.npz) so the parent can compare against the single-device run.
+Writes gathered (global) owned-node results to <outfile> (.npz) so the
+parent can compare against the single-process run.  backend="pallas" runs
+the fused 4-kernel production chain per shard (interpret mode on CPU —
+same traced program, same ppermute collectives, same interior/boundary
+b3h split + fixup).
 """
 
+import contextlib
 import os
 import sys
 
 
 def main():
     coordinator, n_procs, pid, backend, outfile = sys.argv[1:6]
+    n_steps = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+    iter_yn = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
     n_procs, pid = int(n_procs), int(pid)
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -43,18 +49,36 @@ def main():
     from fesom2_accelerate_tpu.mesh import generate_planar_mesh, random_fields
     from fesom2_accelerate_tpu.parallel import ShardedFctAleSolver
 
-    mesh = generate_planar_mesh(preset="tiny")
-    cfg = FctAleConfig(dt=0.5, dtype=jnp.float32, flux_eps=1e-7)
-    solver = ShardedFctAleSolver(mesh, cfg, devices=devices, backend=backend)
-    assert solver._multiproc
-    fields = random_fields(mesh, seed=0, dtype=np.float32)
-    state = solver.init_state(fields)
-    state = solver.step(state)
-    jax.block_until_ready(state)
+    if backend == "pallas":
+        # plain interpret=True, NOT force_tpu_interpret_mode: the TPU-sim's
+        # callbacks deadlock under multi-process shard_map (kernels.py)
+        from fesom2_accelerate_tpu.ops.pallas import kernels
 
-    plus = solver.gather_node(state["fct_plus"])
-    dv = solver.gather_node(state["del_ttf_advvert"])
-    np.savez(outfile, fct_plus=plus, del_ttf_advvert=dv)
+        kernels.set_interpret(True)
+    interp = contextlib.nullcontext()
+
+    mesh = generate_planar_mesh(preset="tiny")
+    cfg = FctAleConfig(dt=0.5, iter_yn=iter_yn, dtype=jnp.float32,
+                       flux_eps=1e-7)
+    with interp:
+        solver = ShardedFctAleSolver(mesh, cfg, devices=devices,
+                                     backend=backend)
+        assert solver._multiproc
+        fields = random_fields(mesh, seed=0, dtype=np.float32)
+        state = solver.init_state(fields)
+        if n_steps == 1:
+            state = solver.step(state)
+        else:
+            state = solver.run(state, n_steps)
+        jax.block_until_ready(state)
+
+    out = {}
+    keys = ["fct_plus", "fct_minus", "fct_adf_v"]
+    keys += ["fct_LO"] if iter_yn else ["del_ttf_advvert", "del_ttf_advhoriz"]
+    for k in keys:
+        if k in state:
+            out[k] = solver.gather_node(state[k])
+    np.savez(outfile, **out)
     print(f"proc {pid}: OK", flush=True)
 
 

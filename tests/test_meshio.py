@@ -91,3 +91,57 @@ def test_cylinder_pallas_step_matches_oracle(iter_yn):
     for k, v in ref.items():
         err = _relerr(out[k], v)
         assert err < 2e-5, f"{k}: relerr {err:.2e}"
+
+
+def test_real_format_fixture_end_to_end():
+    """A FESOM-format mesh sample NOT produced by write_fesom_mesh
+    (tests/data/polar_cap, scripts/make_fixture_mesh.py: comment headers,
+    shuffled ids, boundary flags, positive-down depths, CRLF) parses, and
+    the full fused Pallas chain + the sharded path run on it and agree
+    with the f64 oracle / single-device solver."""
+    import os
+
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fesom2_accelerate_tpu.config import FctAleConfig
+    from fesom2_accelerate_tpu.mesh.fesom_io import read_fesom_mesh
+    from fesom2_accelerate_tpu.mesh.generate import random_fields
+    from fesom2_accelerate_tpu.model.fct_ale import FctAleSolver
+    from fesom2_accelerate_tpu.ops import oracle
+    from fesom2_accelerate_tpu.ops.pallas import step as pstep
+    from fesom2_accelerate_tpu.parallel import ShardedFctAleSolver
+
+    path = os.path.join(os.path.dirname(__file__), "data", "polar_cap")
+    mesh, perm = read_fesom_mesh(path)
+    mesh.validate()
+    assert perm is not None and mesh.n_nodes == 631
+
+    fields = random_fields(mesh, seed=9, dtype=np.float32)
+    cfg = FctAleConfig(dt=0.5, dtype=jnp.float32, flux_eps=1e-7)
+    ref = oracle.fct_ale_step(
+        mesh, {k: v.astype(np.float64) for k, v in fields.items()},
+        vlimit=1, dt=0.5, flux_eps=1e-7)
+
+    # fused Pallas chain (interpret) vs the f64 oracle
+    pd, ps = pstep.build_pallas_data(mesh)
+    s = {k: jnp.asarray(v, jnp.float32) for k, v in fields.items()}
+    with pltpu.force_tpu_interpret_mode():
+        out = pstep.fct_ale_step_pallas(pd, ps, cfg, s)
+    for k in ("fct_plus", "fct_minus", "fct_adf_h", "del_ttf_advvert",
+              "del_ttf_advhoriz"):
+        a = np.asarray(out[k], np.float64)
+        err = np.abs(a - ref[k]).max() / max(np.abs(ref[k]).max(), 1.0)
+        assert err < 2e-5, f"pallas[{k}] relerr {err:.2e}"
+
+    # sharded path (f64, exact) on the same ingested mesh
+    cfg64 = FctAleConfig(dt=0.5, dtype=jnp.float64)
+    fields64 = {k: v.astype(np.float64) for k, v in fields.items()}
+    single = FctAleSolver(mesh, cfg64)
+    ref_out = single.step(single.init_state(fields64))
+    sh = ShardedFctAleSolver(mesh, cfg64)
+    out_sh = sh.step(sh.init_state(fields64))
+    for k in ("fct_plus", "del_ttf_advhoriz"):
+        got = sh.gather_node(out_sh[k])
+        np.testing.assert_allclose(got, np.asarray(ref_out[k]),
+                                   rtol=1e-12, atol=1e-12, err_msg=k)

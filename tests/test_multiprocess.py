@@ -26,7 +26,8 @@ def _free_port():
     return port
 
 
-def _run_workers(backend, tmp_path, n_procs=2, timeout=420):
+def _run_workers(backend, tmp_path, n_procs=2, timeout=420, n_steps=1,
+                 iter_yn=False):
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
@@ -37,7 +38,8 @@ def _run_workers(backend, tmp_path, n_procs=2, timeout=420):
         outs.append(out)
         procs.append(subprocess.Popen(
             [sys.executable, os.path.join(_DIR, "multiproc_worker.py"),
-             coord, str(n_procs), str(pid), backend, out],
+             coord, str(n_procs), str(pid), backend, out,
+             str(n_steps), str(int(iter_yn))],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         ))
@@ -55,9 +57,16 @@ def _run_workers(backend, tmp_path, n_procs=2, timeout=420):
     return outs
 
 
-@pytest.mark.parametrize("backend", ["xla"])
-def test_two_process_matches_single(backend, tmp_path):
-    outs = _run_workers(backend, tmp_path)
+@pytest.mark.parametrize("backend,n_steps,iter_yn", [
+    ("xla", 1, False),
+    # the PRODUCTION backend across a process boundary: fused Pallas chain
+    # (interpret mode), ppermute exchange + interior/boundary b3h fixup
+    ("pallas", 1, False),
+    # multi-step iterative mode: fct_LO carried through the halo refresh
+    ("pallas", 3, True),
+])
+def test_two_process_matches_single(backend, n_steps, iter_yn, tmp_path):
+    outs = _run_workers(backend, tmp_path, n_steps=n_steps, iter_yn=iter_yn)
 
     # single-process reference over the SAME global partition (4 parts)
     import jax
@@ -65,18 +74,28 @@ def test_two_process_matches_single(backend, tmp_path):
 
     from fesom2_accelerate_tpu.config import FctAleConfig
     from fesom2_accelerate_tpu.mesh import generate_planar_mesh, random_fields
+    from fesom2_accelerate_tpu.ops.pallas import kernels
     from fesom2_accelerate_tpu.parallel import ShardedFctAleSolver
 
-    mesh = generate_planar_mesh(preset="tiny")
-    cfg = FctAleConfig(dt=0.5, dtype=jnp.float32, flux_eps=1e-7)
-    solver = ShardedFctAleSolver(mesh, cfg, devices=jax.devices()[:4],
-                                 backend=backend)
-    fields = random_fields(mesh, seed=0, dtype=np.float32)
-    state = solver.step(solver.init_state(fields))
-    ref_plus = solver.gather_node(state["fct_plus"])
-    ref_dv = solver.gather_node(state["del_ttf_advvert"])
+    if backend == "pallas":
+        # same plain-interpret flavor as the workers (bit-identical math)
+        kernels.set_interpret(True)
+    try:
+        mesh = generate_planar_mesh(preset="tiny")
+        cfg = FctAleConfig(dt=0.5, iter_yn=iter_yn, dtype=jnp.float32,
+                           flux_eps=1e-7)
+        solver = ShardedFctAleSolver(mesh, cfg, devices=jax.devices()[:4],
+                                     backend=backend)
+        fields = random_fields(mesh, seed=0, dtype=np.float32)
+        state = solver.init_state(fields)
+        state = (solver.step(state) if n_steps == 1
+                 else solver.run(state, n_steps))
 
-    for out in outs:
-        got = np.load(out)
-        np.testing.assert_array_equal(got["fct_plus"], ref_plus)
-        np.testing.assert_array_equal(got["del_ttf_advvert"], ref_dv)
+        for out in outs:
+            got = np.load(out)
+            assert len(got.files) >= 2
+            for k in got.files:
+                ref = solver.gather_node(state[k])
+                np.testing.assert_array_equal(got[k], ref, err_msg=k)
+    finally:
+        kernels.set_interpret(False)

@@ -148,3 +148,34 @@ def test_stress2rhs_pallas_matches_oracle():
         err = np.abs(np.asarray(got, np.float64) - ref).max()
         err /= max(np.abs(ref).max(), 1.0)
         assert err < 2e-6, f"stress2rhs pallas {name}: relerr {err:.2e}"
+
+
+def test_f32_drift_bound_25_steps():
+    """N-step (25) f32 drift vs the f64 oracle stays within the documented
+    bound (BASELINE.md accuracy record; the eps-guarded b2 division is the
+    sensitive op, reference kernels/fct_ale_b2.cu:10-11).  Covers BOTH f32
+    paths: XLA stages and the fused Pallas chain (plain interpret)."""
+    from fesom2_accelerate_tpu.ops.pallas import kernels as pk
+
+    mesh = generate_planar_mesh(preset="tiny")
+    fields = random_fields(mesh, seed=0, dtype=np.float64)
+    n = 25
+
+    def run(dtype, backend, eps):
+        cfg = FctAleConfig(dt=0.5, iter_yn=True, dtype=dtype, flux_eps=eps)
+        solver = FctAleSolver(mesh, cfg, backend=backend)
+        return solver.run(solver.init_state(fields), n)
+
+    ref = run(jnp.float64, "xla", 1e-16)
+    f32 = run(jnp.float32, "xla", 1e-7)
+    pk.set_interpret(True)
+    try:
+        pls = run(jnp.float32, "pallas", 1e-7)
+    finally:
+        pk.set_interpret(False)
+    for k in ("fct_LO", "fct_adf_v", "fct_adf_h"):
+        a = np.asarray(ref[k], np.float64)
+        scale = max(np.abs(a).max(), 1.0)
+        for name, got in (("xla", f32), ("pallas", pls)):
+            d = np.abs(np.asarray(got[k], np.float64) - a).max() / scale
+            assert d < 2e-5, f"{name}[{k}] drift {d:.2e} after {n} steps"
