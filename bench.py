@@ -124,14 +124,30 @@ def _bench_stress2rhs(mesh, args, dtype):
     dargs = [jnp.asarray(a, dtype) for a in host]
     solver = Stress2RhsSolver(mesh, dtype=dtype, backend=args.backend)
 
-    def sync():
-        return float(jnp.sum(solver(*dargs)[0]))
+    # scan with a forced data dependency (carry feeds the next call's rhs_a)
+    # so the measured time is device time, not dispatch pipelining — same
+    # discipline as the FCT path / scripts/perf_kernels.py.  Mesh-side
+    # arrays ride as jit ARGUMENTS (closure capture inlines HLO constants)
+    eps = jnp.asarray(1e-30, dtype)
+    fixed = dargs[:-2]
+    rhs_m = dargs[-1]
+    extra = ((solver._wb2, *solver._ids) if args.backend == "pallas"
+             else (solver.md,))
 
-    sync()
+    @jax.jit
+    def scan_calls(extra, fixed, rhs_a, rhs_m):
+        def body(ra, _):
+            u, _v = solver._fn(*extra, *fixed, ra, rhs_m)
+            return ra + eps * u, None
+        out, _ = jax.lax.scan(body, rhs_a, None, length=args.steps)
+        return out
+
+    def sync(x):
+        return float(jnp.sum(x))
+
+    sync(scan_calls(extra, fixed, dargs[-2], rhs_m))
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        out = solver(*dargs)
-    float(jnp.sum(out[0]))
+    sync(scan_calls(extra, fixed, dargs[-2], rhs_m))
     dt_s = (time.perf_counter() - t0) / args.steps
     dev = jax.devices()[0]
     itemsize = 4 if args.dtype == "f32" else 8

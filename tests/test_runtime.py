@@ -67,3 +67,24 @@ def test_tune_step_validates_against_oracle():
         results = tuning.tune_step(mesh, tiles=(64,), steps=2)
     assert all(r.ok for r in results)
     assert tuning.best(results) is not None
+
+
+def test_checkpoint_npz_fallback_roundtrip(tmp_path, tiny_mesh):
+    """use_orbax=False path: write npz, honor the recorded format on load
+    even though orbax IS importable in this environment (round-2 weak #7:
+    the fallback branch had no coverage)."""
+    import json
+
+    mesh = tiny_mesh
+    cfg = FctAleConfig(dt=0.4)
+    fields = random_fields(mesh, seed=1)
+    state = {k: np.asarray(v) for k, v in fields.items()}
+    save_checkpoint(tmp_path / "ck", state, mesh, cfg, step=7,
+                    use_orbax=False)
+    meta = json.loads((tmp_path / "ck" / "meta.json").read_text())
+    assert meta["format"] == "npz"
+    assert (tmp_path / "ck" / "state.npz").exists()
+    restored, step = load_checkpoint(tmp_path / "ck", mesh, cfg)
+    assert step == 7
+    for k, v in state.items():
+        np.testing.assert_array_equal(restored[k], v)

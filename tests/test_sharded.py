@@ -219,3 +219,37 @@ def test_sharded_multistep(setup):
     masked_allclose(sh.gather_node(state["fct_adf_v"]),
                     np.asarray(ref_state["fct_adf_v"]),
                     rtol=1e-11, atol=1e-12, msg="fct_adf_v after steps")
+
+
+def test_sharded_pallas_fallback_on_irregular_mesh():
+    """A mesh whose parts exceed the DIA offset / packed pair budgets must
+    fall back to the one-hot kernels ON THE SHARDED PATH (round-2 weak #6:
+    the fallback was never exercised there) and stay correct."""
+    from fesom2_accelerate_tpu.mesh.generate import generate_cylinder_mesh
+    from fesom2_accelerate_tpu.ops.pallas import kernels as pk
+
+    out_m = generate_cylinder_mesh(48, 16, 8)
+    mesh = out_m[0] if isinstance(out_m, tuple) else out_m
+    fields = random_fields(mesh, seed=6)
+    fields32 = {k: v.astype(np.float32) for k, v in fields.items()}
+    cfg = FctAleConfig(dt=0.6, dtype=jnp.float32, flux_eps=1e-7)
+
+    ref_solver = FctAleSolver(mesh, cfg)
+    ref_out = ref_solver.step(ref_solver.init_state(fields32))
+
+    pk.set_interpret(True)
+    try:
+        sh = ShardedFctAleSolver(mesh, cfg, backend="pallas",
+                                 devices=jax.devices()[:4])
+        # the RCM cylinder's per-tile offset sets overflow both budgets
+        assert sh.ps.a3f_dia_D == 0, "expected DIA fallback"
+        assert sh.ps.pack_K == 0, "expected packed-layout fallback"
+        out = sh.step(sh.init_state(fields32))
+    finally:
+        pk.set_interpret(False)
+    for k in ("fct_plus", "fct_minus", "del_ttf_advvert",
+              "del_ttf_advhoriz"):
+        got = sh.gather_node(out[k])[: mesh.n_layers]
+        ref = np.asarray(ref_out[k])
+        err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1.0)
+        assert err < 2e-6, f"fallback[{k}] relerr {err:.2e}"
