@@ -269,11 +269,12 @@ def _gather_bounded(lo_refs, ttf_refs, lidx_ref, lev_ref, C, Lp,
     return jnp.concatenate([g[:Lp] - P, g[Lp:] + P], axis=0)
 
 
-def _bounds_epilogue(out_ref, acc_max, acc_min, lo_t, tt_t, active, z, nlev,
-                     Lp, vlimit):
+def _bounds_epilogue_vals(acc_max, acc_min, lo_t, tt_t, active, z, nlev,
+                          Lp, vlimit):
     """Shared K1 tail: 3-level vertical window over the cluster bounds and
-    the final ``fct_ttf_max/min = bounds - fct_LO`` write (reference
-    src/reference.cpp:353-392; vlimit 2/3 per docs/refactoring.md:113-148)."""
+    the final ``fct_ttf_max/min = bounds - fct_LO`` (reference
+    src/reference.cpp:353-392; vlimit 2/3 per docs/refactoring.md:113-148).
+    Returns (ttmax, ttmin) values so fused callers can consume in-kernel."""
     plain = (z == 0) | (z >= nlev - 2)
     if vlimit == 1:
         # 3-level window over the cluster bounds (src/reference.cpp:353-392)
@@ -300,8 +301,16 @@ def _bounds_epilogue(out_ref, acc_max, acc_min, lo_t, tt_t, active, z, nlev,
             cmin = jnp.maximum(acc_min, wmin)
         sel_max = jnp.where(plain, acc_max, cmax)
         sel_min = jnp.where(plain, acc_min, cmin)
-    out_ref[:Lp] = jnp.where(active, sel_max - lo_t, 0.0)
-    out_ref[Lp:] = jnp.where(active, sel_min - lo_t, 0.0)
+    return (jnp.where(active, sel_max - lo_t, 0.0),
+            jnp.where(active, sel_min - lo_t, 0.0))
+
+
+def _bounds_epilogue(out_ref, acc_max, acc_min, lo_t, tt_t, active, z, nlev,
+                     Lp, vlimit):
+    tmax, tmin = _bounds_epilogue_vals(acc_max, acc_min, lo_t, tt_t, active,
+                                       z, nlev, Lp, vlimit)
+    out_ref[:Lp] = tmax
+    out_ref[Lp:] = tmin
 
 
 def _bounds_kernel(wb_ref, lidx_lo_ref, lev_lo_ref, lidx_hi_ref, lev_hi_ref,
@@ -391,14 +400,14 @@ def bounds_pallas(fct_LO_pad, ttf_pad, lidx_lo, lev_lo, lidx_hi, lev_hi,
 # --------------------------------------------------------------------------
 
 
-def _bounds_dia_kernel(wb_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref, *refs,
-                       Lp, TN, D, J, vlimit):
-    LO = refs[:J]
-    TT = refs[J:2 * J]
-    out_ref = refs[2 * J]
-    scr = refs[2 * J + 1]  # [2Lp, W + TN] VMEM scratch
-    lo_w = _concat(LO)
-    tt_w = _concat(TT)
+def _dia_bounds_vals(wb_ref, lev_ref, scr, lo_refs, tt_refs, lo_t, tt_t,
+                     nlev, z, i, Lp, TN, D, vlimit):
+    """The full K1 DIA computation as VALUES (ttmax, ttmin) — shared by the
+    standalone bounds kernel and the fused K1+K2 kernel
+    (kernels_packed.limit_fused_pallas).  ``wb_ref`` row layout: col 0
+    window block, cols 1..D shift q, cols 1+D..1+2D lane residue rem."""
+    lo_w = _concat(lo_refs)
+    tt_w = _concat(tt_refs)
     # a1 on the window (reference src/reference.cpp:306-319), staged through
     # VMEM scratch so each offset is a dynamic-lane-offset LOAD of just
     # [2Lp, TN] (cost ~ slice size), not a roll of the whole slab
@@ -411,14 +420,9 @@ def _bounds_dia_kernel(wb_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref, *refs,
     # host computed (shifts may encode negative raw offsets)
     scr[:Lp, W:] = a1max[:, :TN]
     scr[Lp:, W:] = a1min[:, :TN]
-    z = _row_iota((Lp, TN))
-    nlev = nlev_ref[:]
     active = z < (nlev - 1)
-    lo_t = lo_t_ref[:]
-    tt_t = ttf_t_ref[:]
     acc_max = jnp.where(active, jnp.maximum(lo_t, tt_t), -_BIG)
     acc_min = jnp.where(active, jnp.minimum(lo_t, tt_t), _BIG)
-    i = pl.program_id(0)
     lev_all = lev_ref[0]  # [D, TN]
     for d in range(D):
         # per-(tile, d) shift s in [0, W), decomposed host-side into a
@@ -442,8 +446,22 @@ def _bounds_dia_kernel(wb_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref, *refs,
         m = z < lev_all[d:d + 1]
         acc_max = jnp.where(m, jnp.maximum(acc_max, r[:Lp]), acc_max)
         acc_min = jnp.where(m, jnp.minimum(acc_min, r[Lp:]), acc_min)
-    _bounds_epilogue(out_ref, acc_max, acc_min, lo_t, tt_t, active, z, nlev,
-                     Lp, vlimit)
+    return _bounds_epilogue_vals(acc_max, acc_min, lo_t, tt_t, active, z,
+                                 nlev, Lp, vlimit)
+
+
+def _bounds_dia_kernel(wb_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref, *refs,
+                       Lp, TN, D, J, vlimit):
+    LO = refs[:J]
+    TT = refs[J:2 * J]
+    out_ref = refs[2 * J]
+    scr = refs[2 * J + 1]  # [2Lp, W + TN] VMEM scratch
+    z = _row_iota((Lp, TN))
+    tmax, tmin = _dia_bounds_vals(
+        wb_ref, lev_ref, scr, LO, TT, lo_t_ref[:], ttf_t_ref[:],
+        nlev_ref[:], z, pl.program_id(0), Lp, TN, D, vlimit)
+    out_ref[:Lp] = tmax
+    out_ref[Lp:] = tmin
 
 
 def bounds_dia_pallas(fct_LO_pad, ttf_pad, dia_wb, dia_lev, nlev_nod_row, *,

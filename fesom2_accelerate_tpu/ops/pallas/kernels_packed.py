@@ -112,19 +112,12 @@ def _scatter_packed(scr, wb_ref, levh_ref, sclev_ref, i, a0, z, TN, Lp, K,
 # --------------------------------------------------------------------------
 
 
-def _limit_packed_kernel(wb_ref, av_ref, tt_ref, ainv_ref, nlevn_ref,
-                         levh_ref, sclev_ref, *refs,
-                         Lp, Lpv, L, TN, K, Pk, J, dt, eps, iter_yn):
-    out_ref, av_out_ref = refs[J], refs[J + 1]
-    av2_ref = refs[J + 2] if iter_yn else None
-    scr = refs[-1]
-    _stage_window(scr, refs, J, K * Lp)
-    i = pl.program_id(0)
-    a0 = i * TN - wb_ref[i, 0] * BLOCK
-    z = _row_iota((Lp, TN))
-
+def _limit_body(scr, wb_ref, levh_ref, sclev_ref, av, tmax, tmin, ainv,
+                nlev, z, i, a0, out_ref, av_out_ref, av2_ref,
+                Lp, Lpv, L, TN, K, Pk, dt, eps, iter_yn):
+    """K2 body on one node tile, with the bounds (tmax, tmin) as VALUES —
+    shared by the standalone packed K2 and the fused K1+K2 kernel."""
     # b1 vertical (kernels/fct_ale_b1_vertical.cu:13-14)
-    av = av_ref[:]
     up = av[:Lp]
     if Lpv >= Lp + 1:
         dn = av[1:Lp + 1]
@@ -142,14 +135,11 @@ def _limit_packed_kernel(wb_ref, av_ref, tt_ref, ainv_ref, nlevn_ref,
     minus = minus + gm
 
     # b2 (kernels/fct_ale_b2.cu:10-11)
-    nlev = nlevn_ref[:]
     active = z < (nlev - 1)
-    tt = tt_ref[:]
-    ainv = ainv_ref[:]
     fplus = plus * dt * ainv + eps
     fminus = minus * dt * ainv - eps
-    fp = jnp.where(active, jnp.minimum(1.0, tt[:Lp] / fplus), 0.0)
-    fm = jnp.where(active, jnp.minimum(1.0, tt[Lp:] / fminus), 0.0)
+    fp = jnp.where(active, jnp.minimum(1.0, tmax / fplus), 0.0)
+    fm = jnp.where(active, jnp.minimum(1.0, tmin / fminus), 0.0)
     out_ref[:Lp] = fp
     out_ref[Lp:] = fm
 
@@ -174,6 +164,23 @@ def _limit_packed_kernel(wb_ref, av_ref, tt_ref, ainv_ref, nlevn_ref,
                 [resid, jnp.zeros((Lpv - Lp, TN), jnp.float32)], axis=0
             )
         av2_ref[:] = resid
+
+
+def _limit_packed_kernel(wb_ref, av_ref, tt_ref, ainv_ref, nlevn_ref,
+                         levh_ref, sclev_ref, *refs,
+                         Lp, Lpv, L, TN, K, Pk, J, dt, eps, iter_yn):
+    out_ref, av_out_ref = refs[J], refs[J + 1]
+    av2_ref = refs[J + 2] if iter_yn else None
+    scr = refs[-1]
+    _stage_window(scr, refs, J, K * Lp)
+    i = pl.program_id(0)
+    a0 = i * TN - wb_ref[i, 0] * BLOCK
+    z = _row_iota((Lp, TN))
+    tt = tt_ref[:]
+    _limit_body(scr, wb_ref, levh_ref, sclev_ref, av_ref[:], tt[:Lp],
+                tt[Lp:], ainv_ref[:], nlevn_ref[:], z, i, a0, out_ref,
+                av_out_ref, av2_ref, Lp, Lpv, L, TN, K, Pk, dt, eps,
+                iter_yn)
 
 
 def limit_packed_pallas(adf_v_pad, tt_stacked, area_inv_pad, F_packed,
@@ -482,3 +489,118 @@ def update_packed_pallas(adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad,
     )(sc_wb, adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad, fct_LO_pad,
       del_v_pad, del_h_pad, area_inv_pad, nlev_nod_row, lev_home, sc_lev,
       *([F_lim_packed] * J))
+
+
+# --------------------------------------------------------------------------
+# Fused K1+K2: the bounds (a1+a2+a3, DIA form) feed b1/b2/b3v directly on
+# the same node tile — K2 consumes the bounds ONLY on its own tile, so the
+# fusion is recompute-free and removes the [2Lp, Np] tt round-trip through
+# HBM entirely (it remains an output for diagnostics/state parity).
+# Applies when the mesh admits BOTH the DIA bounds and the packed edge
+# layout (step.build_pallas_data gates).
+# --------------------------------------------------------------------------
+
+
+def _limit_fused_kernel(wb1_ref, wb2_ref, dlev_ref, nlevn_ref, lo_t_ref,
+                        ttf_t_ref, av_ref, ainv_ref, levh_ref, sclev_ref,
+                        *refs, Lp, Lpv, L, TN, D, J1, K, Pk, J2, dt, eps,
+                        vlimit, iter_yn):
+    from fesom2_accelerate_tpu.ops.pallas.kernels import _dia_bounds_vals
+
+    o = 0
+    LO = refs[o:o + J1]; o += J1
+    TT = refs[o:o + J1]; o += J1
+    FW = refs[o:o + J2]; o += J2
+    tt_out_ref, out_ref, av_out_ref = refs[o:o + 3]
+    av2_ref = refs[o + 3] if iter_yn else None
+    scr_a1, scr_F = refs[-2], refs[-1]
+
+    i = pl.program_id(0)
+    z = _row_iota((Lp, TN))
+    nlev = nlevn_ref[:]
+
+    # K1 bounds (DIA) as values
+    tmax, tmin = _dia_bounds_vals(
+        wb1_ref, dlev_ref, scr_a1, LO, TT, lo_t_ref[:], ttf_t_ref[:],
+        nlev, z, i, Lp, TN, D, vlimit)
+    tt_out_ref[:Lp] = tmax
+    tt_out_ref[Lp:] = tmin
+
+    # K2 on the same tile
+    _stage_window(scr_F, FW, J2, K * Lp)
+    a0 = i * TN - wb2_ref[i, 0] * BLOCK
+    _limit_body(scr_F, wb2_ref, levh_ref, sclev_ref, av_ref[:], tmax, tmin,
+                ainv_ref[:], nlev, z, i, a0, out_ref, av_out_ref, av2_ref,
+                Lp, Lpv, L, TN, K, Pk, dt, eps, iter_yn)
+
+
+def limit_fused_pallas(fct_LO_pad, ttf_pad, adf_v_pad, area_inv_pad,
+                       F_packed, dia_wb, dia_lev, lev_home, sc_lev, sc_wb,
+                       nlev_nod_row, *, tile, J_un, D, J_sc, K, Pk, L, dt,
+                       flux_eps, vlimit=1, iter_yn=False):
+    """Fused K1+K2 -> (tt stacked [2Lp, Np], limiter factors [2Lp, Np],
+    limited adf_v [Lpv, Np][, adf_v residual — iterative mode only])."""
+    Lp, Np = fct_LO_pad.shape
+    Lpv = adf_v_pad.shape[0]
+    TN = tile
+    T = Np // TN
+    P = sum(Pk)
+    assert J_un * BLOCK >= tile, "DIA window narrower than the tile"
+
+    def tspec(shape):
+        return pl.BlockSpec(shape, lambda i, w1, w2: (0, i))
+
+    def wspec(rows, J, which):
+        return [pl.BlockSpec(
+            (rows, BLOCK),
+            (lambda i, w1, w2, j=j: (0, w1[i, 0] + j)) if which == 1 else
+            (lambda i, w1, w2, j=j: (0, w2[i, 0] + j)),
+        ) for j in range(J)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # dia_wb, sc_wb
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, D, TN), lambda i, w1, w2: (i, 0, 0)),
+            tspec((1, TN)),
+            tspec((Lp, TN)),
+            tspec((Lp, TN)),
+            tspec((Lpv, TN)),
+            tspec((Lp, TN)),
+            tspec((K, TN)),
+            pl.BlockSpec((1, max(P, 1), TN), lambda i, w1, w2: (i, 0, 0)),
+            *wspec(Lp, J_un, 1),
+            *wspec(Lp, J_un, 1),
+            *wspec(K * Lp, J_sc, 2),
+        ],
+        out_specs=(
+            (tspec((2 * Lp, TN)), tspec((2 * Lp, TN)), tspec((Lpv, TN)),
+             tspec((Lpv, TN))) if iter_yn else
+            (tspec((2 * Lp, TN)), tspec((2 * Lp, TN)), tspec((Lpv, TN)))
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * Lp, J_un * BLOCK + TN), jnp.float32),
+            pltpu.VMEM((K * Lp, J_sc * BLOCK + TN + BLOCK), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_limit_fused_kernel, Lp=Lp, Lpv=Lpv, L=L,
+                               TN=TN, D=D, J1=J_un, K=K, Pk=Pk, J2=J_sc,
+                               dt=dt, eps=flux_eps, vlimit=vlimit,
+                               iter_yn=iter_yn)
+    out_shape = (
+        jax.ShapeDtypeStruct((2 * Lp, Np), jnp.float32),
+        jax.ShapeDtypeStruct((2 * Lp, Np), jnp.float32),
+        jax.ShapeDtypeStruct((Lpv, Np), jnp.float32),
+    )
+    if iter_yn:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((Lpv, Np), jnp.float32),)
+    return pallas_call(
+        kernel,
+        name="fct_limit_fused",
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        out_shape=out_shape,
+    )(dia_wb, sc_wb, dia_lev, nlev_nod_row, fct_LO_pad, ttf_pad, adf_v_pad,
+      area_inv_pad, lev_home, sc_lev, *([fct_LO_pad] * J_un),
+      *([ttf_pad] * J_un), *([F_packed] * J_sc))

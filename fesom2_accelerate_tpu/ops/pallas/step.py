@@ -184,6 +184,12 @@ class PallasStatic:
     pack_Pk_g: tuple = ()
     pack_J_sc: int = 0
     pack_J_g: int = 0
+    # run K1+K2 as one fused kernel (needs DIA + packed).  Off by default:
+    # fusing removes the tt HBM round-trip (~100 MB/step) but the merged
+    # kernel's 30+ window inputs degrade Mosaic's input pipelining — on the
+    # real chip the fused step measured ~0.5 ms SLOWER at tile=1024
+    # (2.90 vs 2.40 ms).  Kept selectable for future Mosaic versions.
+    fuse_k12: bool = False
 
 
 def _pad_mesh(mesh: Mesh, Np: int, Ep: int, Edp: int) -> Mesh:
@@ -223,6 +229,7 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
                       scatter_chunk: "int | None" = None,
                       dia_max: int = 40,
                       pack_pmax: int = 16,
+                      fuse_k12: bool = False,
                       halo_mask: "np.ndarray | None" = None,
                       xp=jnp):
     """Returns (PallasData, PallasStatic).
@@ -547,6 +554,7 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
         n_fix_tiles=(common.n_fix_tiles if common is not None else n_fix),
         chunk=chunk, scatter_chunk=scatter_chunk,
         a3f_un_nblocks=j_a3f_un, a3f_dia_D=D,
+        fuse_k12=(common.fuse_k12 if common is not None else fuse_k12),
         **pk_static,
     )
     return data, static
@@ -655,43 +663,58 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
     # edges with per-neighbor level bounds; all vlimit variants in-kernel.
     # DIA form (masked lane shifts per distinct neighbor offset) when the
     # mesh ordering admits it, one-hot MXU contraction otherwise.
-    if ps.a3f_dia_D:
-        tt = kernels.bounds_dia_pallas(
-            fct_LO, ttf, pd.a3f_dia_wb, pd.a3f_dia_lev, pd.nlev_nod_row,
-            tile=ps.tile, nblocks=ps.a3f_un_nblocks, D=ps.a3f_dia_D,
-            vlimit=cfg.vlimit,
-        )
-    else:
-        tt = kernels.bounds_pallas(
-            fct_LO, ttf, pd.a3f_lidx_lo, pd.a3f_lev_lo, pd.a3f_lidx_hi,
-            pd.a3f_lev_hi, pd.a3f_wb, pd.nlev_nod_row, tile=ps.tile,
-            nblocks_lo=ps.a3f_lo_nblocks, nblocks_hi=ps.a3f_hi_nblocks,
-            K_lo=ps.K_lo, K_hi=ps.K_hi, vlimit=cfg.vlimit, chunk=ps.chunk,
-        )
-
     # K2: b1 vertical + b1 horizontal scatter + b2 + b3 vertical.  Packed
     # (home-slot DIA) form when the mesh ordering admits it — aligned slab
     # sums + per-(slot, offset) lane shifts instead of one-hot contractions
     # (kernels_packed.py); the residual output is skipped outside iterative
     # mode in the packed form (one fewer [Lpv, Np] HBM write).
-    if ps.pack_K:
-        lim = kernels_packed.limit_packed_pallas(
-            adf_v, tt, pd.area_inv_pad, adf_h_pad, pd.pk_lev_home,
-            pd.pk_sc_lev, pd.pk_sc_wb, pd.nlev_nod_row, tile=ps.tile,
-            J=ps.pack_J_sc, K=ps.pack_K, Pk=ps.pack_Pk_s, L=L, dt=dt,
-            flux_eps=float(cfg.flux_eps), iter_yn=cfg.iter_yn,
+    # When BOTH DIA and packed apply, K1 and K2 run as ONE fused kernel —
+    # K2 needs the bounds only on its own tile, so the fusion is
+    # recompute-free and removes the tt round-trip through HBM.
+    if ps.fuse_k12 and ps.a3f_dia_D and ps.pack_K:
+        lim = kernels_packed.limit_fused_pallas(
+            fct_LO, ttf, adf_v, pd.area_inv_pad, adf_h_pad, pd.a3f_dia_wb,
+            pd.a3f_dia_lev, pd.pk_lev_home, pd.pk_sc_lev, pd.pk_sc_wb,
+            pd.nlev_nod_row, tile=ps.tile, J_un=ps.a3f_un_nblocks,
+            D=ps.a3f_dia_D, J_sc=ps.pack_J_sc, K=ps.pack_K,
+            Pk=ps.pack_Pk_s, L=L, dt=dt, flux_eps=float(cfg.flux_eps),
+            vlimit=cfg.vlimit, iter_yn=cfg.iter_yn,
         )
-        pm, av_out = lim[0], lim[1]
-        av2 = lim[2] if cfg.iter_yn else None
+        tt, pm, av_out = lim[0], lim[1], lim[2]
+        av2 = lim[3] if cfg.iter_yn else None
     else:
-        pm, av_out, av2 = kernels.limit_pallas(
-            adf_v, tt, pd.area_inv_pad, adf_h_pad, pd.starts_col,
-            pd.ends_col, pd.nlev_edge_row, pd.ne_wb, pd.nlev_nod_row,
-            tile=ps.tile, nblocks_lo=ps.ne_lo_nblocks,
-            nblocks_hi=ps.ne_hi_nblocks, L=L, dt=dt,
-            flux_eps=float(cfg.flux_eps), iter_yn=cfg.iter_yn,
-            chunk=ps.scatter_chunk,
-        )
+        if ps.a3f_dia_D:
+            tt = kernels.bounds_dia_pallas(
+                fct_LO, ttf, pd.a3f_dia_wb, pd.a3f_dia_lev,
+                pd.nlev_nod_row, tile=ps.tile, nblocks=ps.a3f_un_nblocks,
+                D=ps.a3f_dia_D, vlimit=cfg.vlimit,
+            )
+        else:
+            tt = kernels.bounds_pallas(
+                fct_LO, ttf, pd.a3f_lidx_lo, pd.a3f_lev_lo, pd.a3f_lidx_hi,
+                pd.a3f_lev_hi, pd.a3f_wb, pd.nlev_nod_row, tile=ps.tile,
+                nblocks_lo=ps.a3f_lo_nblocks, nblocks_hi=ps.a3f_hi_nblocks,
+                K_lo=ps.K_lo, K_hi=ps.K_hi, vlimit=cfg.vlimit,
+                chunk=ps.chunk,
+            )
+        if ps.pack_K:
+            lim = kernels_packed.limit_packed_pallas(
+                adf_v, tt, pd.area_inv_pad, adf_h_pad, pd.pk_lev_home,
+                pd.pk_sc_lev, pd.pk_sc_wb, pd.nlev_nod_row, tile=ps.tile,
+                J=ps.pack_J_sc, K=ps.pack_K, Pk=ps.pack_Pk_s, L=L, dt=dt,
+                flux_eps=float(cfg.flux_eps), iter_yn=cfg.iter_yn,
+            )
+            pm, av_out = lim[0], lim[1]
+            av2 = lim[2] if cfg.iter_yn else None
+        else:
+            pm, av_out, av2 = kernels.limit_pallas(
+                adf_v, tt, pd.area_inv_pad, adf_h_pad, pd.starts_col,
+                pd.ends_col, pd.nlev_edge_row, pd.ne_wb, pd.nlev_nod_row,
+                tile=ps.tile, nblocks_lo=ps.ne_lo_nblocks,
+                nblocks_hi=ps.ne_hi_nblocks, L=L, dt=dt,
+                flux_eps=float(cfg.flux_eps), iter_yn=cfg.iter_yn,
+                chunk=ps.scatter_chunk,
+            )
 
     overlap = exchange is not None and ps.n_fix_tiles > 0
     pm_x = exchange(pm) if exchange is not None else pm

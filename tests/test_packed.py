@@ -120,3 +120,24 @@ def test_cylinder_falls_back_to_onehot():
     )
     for k in ("fct_plus", "fct_minus", "fct_adf_h", "del_ttf_advhoriz"):
         assert _relerr(out[k], ref[k]) < 2e-5, k
+
+
+@pytest.mark.parametrize("iter_yn", [False, True])
+def test_fused_k12_matches_oracle(small_mesh, iter_yn):
+    """The opt-in fused K1+K2 kernel (kernels_packed.limit_fused_pallas;
+    off by default — see PallasStatic.fuse_k12) matches the oracle."""
+    mesh = small_mesh
+    pd, ps = pstep.build_pallas_data(mesh, fuse_k12=True)
+    assert ps.fuse_k12 and ps.a3f_dia_D and ps.pack_K
+    fields = random_fields(mesh, seed=13, dtype=np.float32)
+    s = {k: jnp.asarray(v, jnp.float32) for k, v in fields.items()}
+    cfg = FctAleConfig(dt=0.6, iter_yn=iter_yn, dtype=jnp.float32,
+                       flux_eps=1e-7)
+    with pltpu.force_tpu_interpret_mode():
+        out = pstep.fct_ale_step_pallas(pd, ps, cfg, s)
+    ref = oracle.fct_ale_step(
+        mesh, {k: v.astype(np.float64) for k, v in fields.items()},
+        vlimit=1, iter_yn=iter_yn, dt=0.6, flux_eps=1e-7,
+    )
+    for k, v in ref.items():
+        assert _relerr(out[k], v) < 2e-5, f"fused[{k}]"
