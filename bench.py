@@ -127,17 +127,33 @@ def _bench_stress2rhs(mesh, args, dtype):
     # scan with a forced data dependency (carry feeds the next call's rhs_a)
     # so the measured time is device time, not dispatch pipelining — same
     # discipline as the FCT path / scripts/perf_kernels.py.  Mesh-side
-    # arrays ride as jit ARGUMENTS (closure capture inlines HLO constants)
+    # arrays ride as jit ARGUMENTS (closure capture inlines HLO constants).
+    # The packed backend keeps element state resident (packed once, like
+    # the FCT path's pad_state) and drives the per-substep call.
     eps = jnp.asarray(1e-30, dtype)
-    fixed = dargs[:-2]
     rhs_m = dargs[-1]
-    extra = ((solver._wb2, *solver._ids) if args.backend == "pallas"
-             else (solver.md,))
+    if getattr(solver, "_packed", False):
+        packed_el = solver.pack_elem_inputs(*dargs[:7])
+        extra = (solver._pk_wb, solver._pk_hc, solver._pk_ind, packed_el,
+                 dargs[7])
+
+        def call1(extra, ra, rm):
+            return solver._call_packed(*extra, ra, rm)
+    elif args.backend == "pallas":
+        extra = (solver._wb2, *solver._ids, *dargs[:-2])
+
+        def call1(extra, ra, rm):
+            return solver._fn(*extra, ra, rm)
+    else:
+        extra = (solver.md, *dargs[:-2])
+
+        def call1(extra, ra, rm):
+            return solver._fn(*extra, ra, rm)
 
     @jax.jit
-    def scan_calls(extra, fixed, rhs_a, rhs_m):
+    def scan_calls(extra, rhs_a, rhs_m):
         def body(ra, _):
-            u, _v = solver._fn(*extra, *fixed, ra, rhs_m)
+            u, _v = call1(extra, ra, rhs_m)
             return ra + eps * u, None
         out, _ = jax.lax.scan(body, rhs_a, None, length=args.steps)
         return out
@@ -145,9 +161,9 @@ def _bench_stress2rhs(mesh, args, dtype):
     def sync(x):
         return float(jnp.sum(x))
 
-    sync(scan_calls(extra, fixed, dargs[-2], rhs_m))
+    sync(scan_calls(extra, dargs[-2], rhs_m))
     t0 = time.perf_counter()
-    sync(scan_calls(extra, fixed, dargs[-2], rhs_m))
+    sync(scan_calls(extra, dargs[-2], rhs_m))
     dt_s = (time.perf_counter() - t0) / args.steps
     dev = jax.devices()[0]
     itemsize = 4 if args.dtype == "f32" else 8

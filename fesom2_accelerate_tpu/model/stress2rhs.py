@@ -34,17 +34,37 @@ class Stress2RhsSolver:
         self.backend = backend
         self.md = build_mesh_data(mesh, dtype=dtype)
         if backend == "pallas":
-            from fesom2_accelerate_tpu.ops.pallas import kernels
+            from fesom2_accelerate_tpu.ops.pallas import (
+                kernels,
+                kernels_packed,
+            )
+            from fesom2_accelerate_tpu.ops.pallas.packed import (
+                build_packed_s2r_plan,
+            )
             from fesom2_accelerate_tpu.ops.pallas.plan import (
                 BLOCK,
                 build_gather_plan,
             )
-            from fesom2_accelerate_tpu.ops.pallas.step import TILE_ONEHOT
+            from fesom2_accelerate_tpu.ops.pallas.step import (
+                TILE as TILE_PACKED,
+                TILE_ONEHOT,
+            )
 
+            assert dtype == jnp.float32, "pallas backend is f32-only"
+            # packed (home-slot DIA) scatter when the mesh admits it — the
+            # one-hot form wastes the MXU on 2-row operands (tuner: ~2 ms
+            # vs ~0.1 ms); one-hot remains the irregular-mesh fallback
+            pk_tile = (tile if tile is not None else
+                       (TILE_PACKED if mesh.n_nodes >= 2 * TILE_PACKED
+                        else TILE_ONEHOT))
+            Np_pk = _ru(mesh.n_nodes, pk_tile)
+            pk = build_packed_s2r_plan(mesh, pk_tile, Np_pk)
+            if pk is not None:
+                self._init_packed(mesh, kernels_packed, pk, pk_tile, Np_pk)
+                return
             # one-hot scatter: contraction cost grows with window width, so
             # the small tile wins (utils/tuning.tune_stress2rhs sweep)
             TILE = TILE_ONEHOT if tile is None else tile
-            assert dtype == jnp.float32, "pallas backend is f32-only"
             N, E = mesh.n_nodes, mesh.n_elems
             ne_valid = np.arange(mesh.node_elems.shape[1])[None, :] < (
                 mesh.node_elems_num[:, None]
@@ -106,8 +126,70 @@ class Stress2RhsSolver:
             # md as argument, not closure (HLO-constant-inlining footgun)
             self._fn = jax.jit(stages.stress2rhs)
 
+    def _init_packed(self, mesh, kernels_packed, pk, tile, Np):
+        """Packed-scatter backend: element state lives as K home-slot slabs
+        (ops/pallas/packed.build_packed_s2r_plan)."""
+        self._packed = True
+        N, E = mesh.n_nodes, mesh.n_elems
+        self._pk_static = (tile, pk.J, pk.K, pk.Pk)
+        self._pk_Np = Np
+        self._pk_wb = jnp.asarray(pk.wb, jnp.int32)
+        self._pk_hc = jnp.asarray(pk.hc, jnp.int32)
+        self._pk_ind = jnp.asarray(pk.ind, jnp.int32)
+        # element-major -> packed gather map (sentinel col E = zeros)
+        self._pk_idx = jnp.asarray(
+            np.where(pk.einv >= 0, pk.einv, E).reshape(-1), jnp.int32)
+        K = pk.K
+
+        def pack_elems(idx, elem_area, ice_strength, sigma11, sigma12,
+                       sigma22, gradient_sca, metric_factor):
+            ea = jnp.where(ice_strength > 0.0, elem_area, 0.0)
+            el = jnp.concatenate(
+                [sigma11[None], sigma12[None], sigma22[None], ea[None],
+                 metric_factor[None] / 3.0, gradient_sca,
+                 jnp.zeros((5, E), jnp.float32)], axis=0)  # [16, E]
+            el = jnp.pad(el, ((0, 0), (0, 1)))  # sentinel col
+            g = jnp.take(el, idx, axis=1).reshape(16, K, Np)
+            return jnp.moveaxis(g, 1, 0).reshape(K * 16, Np)
+
+        tile_, J, K_, Pk = self._pk_static
+
+        def call_packed(wb, hc, ind, packed, inv_areamass, rhs_a, rhs_m):
+            def pn(x):
+                return jnp.pad(x[None, :], ((0, 0), (0, Np - N)))
+
+            out = kernels_packed.stress2rhs_packed_pallas(
+                packed, hc, ind, wb, pn(inv_areamass), pn(rhs_a),
+                pn(rhs_m), tile=tile_, J=J, K=K_, Pk=Pk)
+            return out[0, :N], out[1, :N]
+
+        self._pack_elems = jax.jit(pack_elems)
+        self._call_packed = jax.jit(call_packed)
+
+    def pack_elem_inputs(self, elem_area, ice_strength, sigma11, sigma12,
+                         sigma22, gradient_sca, metric_factor):
+        """Element inputs -> packed resident layout (packed backend only).
+        Pack once, then drive :meth:`call_packed` per EVP substep."""
+        args = [jnp.asarray(a, self.dtype)
+                for a in (elem_area, ice_strength, sigma11, sigma12,
+                          sigma22, gradient_sca, metric_factor)]
+        return self._pack_elems(self._pk_idx, *args)
+
+    def call_packed(self, packed, inv_areamass, rhs_a, rhs_m):
+        args = [jnp.asarray(a, self.dtype)
+                for a in (inv_areamass, rhs_a, rhs_m)]
+        return self._call_packed(self._pk_wb, self._pk_hc, self._pk_ind,
+                                 packed, *args)
+
+    _packed = False
+
     def __call__(self, elem_area, ice_strength, sigma11, sigma12, sigma22,
                  gradient_sca, metric_factor, inv_areamass, rhs_a, rhs_m):
+        if self._packed:
+            packed = self.pack_elem_inputs(
+                elem_area, ice_strength, sigma11, sigma12, sigma22,
+                gradient_sca, metric_factor)
+            return self.call_packed(packed, inv_areamass, rhs_a, rhs_m)
         args = [
             jnp.asarray(a, dtype=self.dtype)
             for a in (elem_area, ice_strength, sigma11, sigma12, sigma22,

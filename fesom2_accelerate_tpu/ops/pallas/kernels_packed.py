@@ -21,7 +21,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -604,3 +603,98 @@ def limit_fused_pallas(fct_LO_pad, ttf_pad, adf_v_pad, area_inv_pad,
     )(dia_wb, sc_wb, dia_lev, nlev_nod_row, fct_LO_pad, ttf_pad, adf_v_pad,
       area_inv_pad, lev_home, sc_lev, *([fct_LO_pad] * J_un),
       *([ttf_pad] * J_un), *([F_packed] * J_sc))
+
+
+# --------------------------------------------------------------------------
+# stress2rhs (packed): element->node EVP stress divergence (reference
+# src/reference.cpp:440-480, CPU-only there) with elements homed at their
+# min corner — the packed counterpart of kernels.stress2rhs_pallas, whose
+# one-hot contractions waste the MXU on 2-row operands.  Packed element
+# rows per slot: 0 s11, 1 s12, 2 s22, 3 area*ice_active, 4 mf/3,
+# 5..10 gradient_sca rows 0..5 (11 used of 16).
+# --------------------------------------------------------------------------
+
+
+def _s2r_corner_uv(el, TN):
+    """The 3 per-corner (u, v) contributions of an element tile [16, TN]
+    (reference src/reference.cpp:456-462)."""
+    s11, s12, s22 = el[0:1], el[1:2], el[2:3]
+    ea, mf3 = el[3:4], el[4:5]
+    out = []
+    for c in range(3):
+        g = el[5 + c:6 + c]
+        g3 = el[8 + c:9 + c]
+        u = -ea * (s11 * g + s12 * g3 + s12 * mf3)
+        v = -ea * (s12 * g + s22 * g3 - s11 * mf3)
+        out.append((u, v))
+    return out
+
+
+def _s2r_packed_kernel(wb_ref, hc_ref, ind_ref, iam_ref, ra_ref, rm_ref,
+                       *refs, TN, K, Pk, J):
+    out_ref = refs[J]
+    scr = refs[-1]
+    _stage_window(scr, refs, J, K * 16)
+    i = pl.program_id(0)
+    a0 = i * TN - wb_ref[i, 0] * BLOCK
+    P = sum(Pk)
+    ind = ind_ref[0]  # [P, TN]
+    acc_u = jnp.zeros((1, TN), jnp.float32)
+    acc_v = jnp.zeros((1, TN), jnp.float32)
+
+    def add(cs, code_row):
+        nonlocal acc_u, acc_v
+        for c in range(3):
+            sel = code_row == (c + 1)
+            acc_u = acc_u + jnp.where(sel, cs[c][0], 0.0)
+            acc_v = acc_v + jnp.where(sel, cs[c][1], 0.0)
+
+    p = 0
+    for k in range(K):
+        el = _aligned(scr, k * 16, (k + 1) * 16, a0, TN)
+        add(_s2r_corner_uv(el, TN), hc_ref[k:k + 1])
+        for _ in range(Pk[k]):
+            el = _pair_shift(scr, k * 16, (k + 1) * 16, wb_ref, i, P, p, TN)
+            add(_s2r_corner_uv(el, TN), ind[p:p + 1])
+            p += 1
+
+    iam = iam_ref[:]
+    has_mass = iam > 0.0
+    out_ref[0:1] = jnp.where(has_mass, acc_u * iam + ra_ref[:], 0.0)
+    out_ref[1:2] = jnp.where(has_mass, acc_v * iam + rm_ref[:], 0.0)
+    out_ref[2:] = jnp.zeros((6, TN), jnp.float32)
+
+
+def stress2rhs_packed_pallas(elem_packed, hc, ind, wb, inv_areamass_row,
+                             rhs_a_row, rhs_m_row, *, tile, J, K, Pk):
+    """elem_packed [K*16, Np] (slot-major; row layout above) -> [8, Np]
+    with U = row 0, V = row 1."""
+    _, Np = elem_packed.shape
+    TN = tile
+    T = Np // TN
+    P = sum(Pk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            _tile_spec((K, TN)),
+            pl.BlockSpec((1, max(P, 1), TN), lambda i, wb: (i, 0, 0)),
+            _tile_spec((1, TN)),
+            _tile_spec((1, TN)),
+            _tile_spec((1, TN)),
+            *_win_specs(K * 16, J, 0),
+        ],
+        out_specs=_tile_spec((8, TN)),
+        scratch_shapes=[
+            pltpu.VMEM((K * 16, J * BLOCK + tile + BLOCK), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_s2r_packed_kernel, TN=TN, K=K, Pk=Pk, J=J)
+    return pallas_call(
+        kernel,
+        name="stress2rhs_packed",
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        out_shape=jax.ShapeDtypeStruct((8, Np), jnp.float32),
+    )(wb, hc, ind, inv_areamass_row, rhs_a_row, rhs_m_row,
+      *([elem_packed] * J))

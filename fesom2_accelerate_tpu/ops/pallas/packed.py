@@ -207,3 +207,109 @@ def build_packed_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
         lev_home=lev_home, einv=einv, eslot=slot,
         sc_wb=sc_wb, sc_lev=sc_lev, g_wb=g_wb, g_ind=g_ind,
     )
+
+
+@dataclasses.dataclass
+class PackedS2RPlan:
+    """Packed (home-slot DIA) plan for the stress2rhs element->node scatter
+    (reference src/reference.cpp:456-462: 3 corner contributions per
+    element, accumulated per node — CPU-only there).
+
+    Elements are homed at their MIN corner node in one of K slots; the home
+    corner's contribution is an aligned read, the two other corners are
+    per-(slot, offset) lane shifts.  ``hc``/``ind`` carry corner CODES
+    (1..3 = which corner of the element the target node is; 0 = absent)."""
+
+    K: int
+    Pk: tuple  # per-slot pair counts (static)
+    J: int  # window blocks
+    einv: np.ndarray  # [K, Np] int32 element id at (slot, home); -1 absent
+    eslot: np.ndarray  # [E] int32
+    hc: np.ndarray  # [K, Np] int32 home corner code (1..3; 0 absent)
+    wb: np.ndarray  # [T, 1 + 2*P] int32 (win_block, q..., rem...)
+    ind: np.ndarray  # [T, P, tile] int32 corner code at target (0 none)
+
+
+def build_packed_s2r_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
+                          common_static: "tuple | None" = None):
+    """Build the packed stress2rhs plan, or None when per-tile pair counts
+    exceed ``pack_pmax`` (fall back to the one-hot scatter kernel).
+
+    ``common_static``: (K, Pk, J) to force (sharded use)."""
+    en = mesh.elem_nodes
+    E, N = mesh.n_elems, mesh.n_nodes
+    T = Np // tile
+    home = en.min(axis=1).astype(np.int64)
+    cnt = np.bincount(home, minlength=N)
+    K_own = int(cnt.max()) if E else 1
+    order = np.argsort(home, kind="stable")
+    offs = np.zeros(N + 1, dtype=np.int64)
+    np.cumsum(cnt, out=offs[1:])
+    slot = np.empty(E, dtype=np.int32)
+    slot[order] = (np.arange(E) - offs[home[order]]).astype(np.int32)
+
+    # per-(target tile, slot) distinct offsets over the two non-home corners
+    pair_sets = [dict() for _ in range(T)]  # (k, d) -> pair pos (later)
+    per_corner = []  # (corner_code, target_node, k, d) rows
+    for c in range(3):
+        tgt = en[:, c].astype(np.int64)
+        m = tgt != home
+        per_corner.append((c + 1, tgt[m], slot[m], (tgt - home)[m],
+                           np.nonzero(m)[0]))
+    for _, tgt, k, d, _e in per_corner:
+        for tt, kk, dd in zip(tgt // tile, k, d):
+            pair_sets[int(tt)].setdefault((int(kk), int(dd)), None)
+    Pk_own = tuple(
+        max((sum(1 for (kk, _dd) in ps if kk == k) for ps in pair_sets),
+            default=0)
+        for k in range(K_own)
+    )
+    if common_static is not None:
+        K, Pk, J = common_static
+        assert K_own <= K and all(a <= b for a, b in zip(Pk_own, Pk))
+    else:
+        if sum(Pk_own) > pack_pmax:
+            return None
+        K, Pk = K_own, Pk_own
+        J = 0
+
+    einv = np.full((K, Np), -1, dtype=np.int32)
+    hc = np.zeros((K, Np), dtype=np.int32)
+    einv[slot, home] = np.arange(E, dtype=np.int32)
+    home_pos = np.argmin(en, axis=1).astype(np.int32)
+    hc[slot, home] = home_pos + 1
+
+    t0s = np.arange(T, dtype=np.int64) * tile
+    sc_min = t0s.copy()
+    for _, tgt, _k, d, _e in per_corner:
+        np.minimum.at(sc_min, tgt // tile, tgt - d)
+    j_own = int(((t0s + tile - 1) // BLOCK - sc_min // BLOCK + 1).max())
+    if common_static is not None:
+        assert j_own <= J and J * BLOCK <= Np
+    else:
+        J = j_own
+
+    P = sum(Pk)
+    wb = np.zeros((T, 1 + 2 * P), dtype=np.int32)
+    ind = np.zeros((T, max(P, 1), tile), dtype=np.int32)
+    base = np.concatenate([[0], np.cumsum(Pk)]).astype(int)
+    wbk = np.maximum(0, (t0s + tile) // BLOCK - J)
+    wb[:, 0] = wbk
+    pair_pos = [dict() for _ in range(T)]
+    for t in range(T):
+        per_slot = {}
+        for (kk, dd) in pair_sets[t]:
+            per_slot.setdefault(kk, []).append(dd)
+        for kk, ds_ in per_slot.items():
+            for j, dd in enumerate(sorted(ds_)):
+                p = base[kk] + j
+                pair_pos[t][(kk, dd)] = p
+                s = int(t0s[t] - dd - wbk[t] * BLOCK) % (J * BLOCK)
+                wb[t, 1 + p] = s // BLOCK
+                wb[t, 1 + P + p] = s % BLOCK
+    for code, tgt, k, d, _e in per_corner:
+        for tt, kk, dd, j in zip(tgt // tile, k, d, tgt - (tgt // tile) * tile):
+            ind[int(tt), pair_pos[int(tt)][(int(kk), int(dd))], int(j)] = code
+
+    return PackedS2RPlan(K=K, Pk=tuple(Pk), J=J, einv=einv,
+                         eslot=slot, hc=hc, wb=wb, ind=ind)

@@ -179,3 +179,30 @@ def test_f32_drift_bound_25_steps():
         for name, got in (("xla", f32), ("pallas", pls)):
             d = np.abs(np.asarray(got[k], np.float64) - a).max() / scale
             assert d < 2e-5, f"{name}[{k}] drift {d:.2e} after {n} steps"
+
+
+def test_stress2rhs_onehot_fallback_on_irregular_mesh():
+    """RCM-ordered meshes exceed the packed pair budget: the solver must
+    fall back to the one-hot scatter kernel and stay correct."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fesom2_accelerate_tpu.mesh.generate import generate_cylinder_mesh
+
+    out_m = generate_cylinder_mesh(48, 16, 8)
+    mesh = out_m[0] if isinstance(out_m, tuple) else out_m
+    rng = np.random.default_rng(3)
+    E, N = mesh.n_elems, mesh.n_nodes
+    host = (np.abs(rng.standard_normal(E)) + 0.1, rng.standard_normal(E),
+            *rng.standard_normal((3, E)), rng.standard_normal((6, E)),
+            rng.standard_normal(E), rng.standard_normal(N),
+            *rng.standard_normal((2, N)))
+    ref = Stress2RhsSolver(mesh, dtype=jnp.float64, backend="xla")(*host)
+    with pltpu.force_tpu_interpret_mode():
+        s = Stress2RhsSolver(mesh, dtype=jnp.float32, backend="pallas")
+        assert not s._packed, "cylinder must take the one-hot fallback"
+        out = s(*host)
+    for i in (0, 1):
+        a = np.asarray(out[i], np.float64)
+        b = np.asarray(ref[i])
+        err = np.abs(a - b).max() / max(np.abs(b).max(), 1.0)
+        assert err < 2e-5, f"row {i} relerr {err:.2e}"
