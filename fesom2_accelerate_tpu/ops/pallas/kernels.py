@@ -400,14 +400,13 @@ def bounds_pallas(fct_LO_pad, ttf_pad, lidx_lo, lev_lo, lidx_hi, lev_hi,
 # --------------------------------------------------------------------------
 
 
-def _dia_bounds_vals(wb_ref, lev_ref, scr, lo_refs, tt_refs, lo_t, tt_t,
+def _dia_bounds_vals(wb_ref, lev_ref, scr, lo_w, tt_w, lo_t, tt_t,
                      nlev, z, i, Lp, TN, D, vlimit):
     """The full K1 DIA computation as VALUES (ttmax, ttmin) — shared by the
-    standalone bounds kernel and the fused K1+K2 kernel
-    (kernels_packed.limit_fused_pallas).  ``wb_ref`` row layout: col 0
-    window block, cols 1..D shift q, cols 1+D..1+2D lane residue rem."""
-    lo_w = _concat(lo_refs)
-    tt_w = _concat(tt_refs)
+    standalone bounds kernel, the DMA-windowed form and the fused K1+K2
+    kernel (kernels_packed.limit_fused_pallas).  ``lo_w``/``tt_w`` are the
+    window SLAB VALUES [Lp, W]; ``wb_ref`` row layout: col 0 window block,
+    cols 1..D shift q, cols 1+D..1+2D lane residue rem."""
     # a1 on the window (reference src/reference.cpp:306-319), staged through
     # VMEM scratch so each offset is a dynamic-lane-offset LOAD of just
     # [2Lp, TN] (cost ~ slice size), not a roll of the whole slab
@@ -458,8 +457,8 @@ def _bounds_dia_kernel(wb_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref, *refs,
     scr = refs[2 * J + 1]  # [2Lp, W + TN] VMEM scratch
     z = _row_iota((Lp, TN))
     tmax, tmin = _dia_bounds_vals(
-        wb_ref, lev_ref, scr, LO, TT, lo_t_ref[:], ttf_t_ref[:],
-        nlev_ref[:], z, pl.program_id(0), Lp, TN, D, vlimit)
+        wb_ref, lev_ref, scr, _concat(LO), _concat(TT), lo_t_ref[:],
+        ttf_t_ref[:], nlev_ref[:], z, pl.program_id(0), Lp, TN, D, vlimit)
     out_ref[:Lp] = tmax
     out_ref[Lp:] = tmin
 
@@ -500,6 +499,91 @@ def bounds_dia_pallas(fct_LO_pad, ttf_pad, dia_wb, dia_lev, nlev_nod_row, *,
         out_shape=jax.ShapeDtypeStruct((2 * Lp, Np), jnp.float32),
     )(dia_wb, dia_lev, nlev_nod_row, fct_LO_pad, ttf_pad,
       *([fct_LO_pad] * J), *([ttf_pad] * J))
+
+
+def _bounds_dia_dma_kernel(wb_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref,
+                           lo_hbm, tt_hbm, out_ref, win, scr, sems, *,
+                           Lp, TN, D, J, vlimit):
+    W = J * BLOCK
+    i = pl.program_id(0)
+    T = pl.num_programs(0)
+
+    def dma(slot, idx):
+        c0 = pl.multiple_of(wb_ref[idx, 0] * BLOCK, BLOCK)
+        return [
+            pltpu.make_async_copy(lo_hbm.at[:, pl.ds(c0, W)],
+                                  win.at[slot, :Lp], sems.at[slot, 0]),
+            pltpu.make_async_copy(tt_hbm.at[:, pl.ds(c0, W)],
+                                  win.at[slot, Lp:], sems.at[slot, 1]),
+        ]
+
+    @pl.when(i == 0)
+    def _():
+        for d in dma(0, 0):
+            d.start()
+
+    @pl.when(i + 1 < T)
+    def _():
+        for d in dma((i + 1) % 2, i + 1):
+            d.start()
+
+    for d in dma(i % 2, i):
+        d.wait()
+
+    w = win[i % 2]
+    z = _row_iota((Lp, TN))
+    tmax, tmin = _dia_bounds_vals(
+        wb_ref, lev_ref, scr, w[:Lp], w[Lp:], lo_t_ref[:], ttf_t_ref[:],
+        nlev_ref[:], z, i, Lp, TN, D, vlimit)
+    out_ref[:Lp] = tmax
+    out_ref[Lp:] = tmin
+
+
+def bounds_dia_dma_pallas(fct_LO_pad, ttf_pad, dia_wb, dia_lev,
+                          nlev_nod_row, *, tile, nblocks, D, vlimit=1):
+    """DIA-form K1 with MANUALLY double-buffered window DMA.
+
+    The BlockSpec pipeline moves each tile's window as J separate
+    128-lane block transfers (28 descriptors/tile at tile=1024), which
+    measured latency-bound at ~136 GB/s on the real chip; one wide
+    [Lp, W] async copy per array per tile with a 2-slot double buffer
+    reaches ~235 GB/s on the same pattern.  Sources stay in HBM
+    (pl.ANY) and the kernel owns the prefetch (guide: Async DMA /
+    Double Buffering)."""
+    Lp, Np = fct_LO_pad.shape
+    T = Np // tile
+    J = nblocks
+    W = J * BLOCK
+    assert W >= tile, "DIA window narrower than the tile"
+    assert W <= Np, "window wider than the padded source"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, D, tile), lambda i, wb: (i, 0, 0)),
+            _tile_spec((1, tile)),
+            _tile_spec((Lp, tile)),
+            _tile_spec((Lp, tile)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=_tile_spec((2 * Lp, tile)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * Lp, W), jnp.float32),
+            pltpu.VMEM((2 * Lp, W + tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(_bounds_dia_dma_kernel, Lp=Lp, TN=tile, D=D,
+                               J=J, vlimit=vlimit)
+    return pallas_call(
+        kernel,
+        name="fct_bounds_dia_dma",
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        out_shape=jax.ShapeDtypeStruct((2 * Lp, Np), jnp.float32),
+    )(dia_wb, dia_lev, nlev_nod_row, fct_LO_pad, ttf_pad, fct_LO_pad,
+      ttf_pad)
 
 
 # --------------------------------------------------------------------------

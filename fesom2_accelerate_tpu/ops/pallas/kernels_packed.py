@@ -520,8 +520,8 @@ def _limit_fused_kernel(wb1_ref, wb2_ref, dlev_ref, nlevn_ref, lo_t_ref,
 
     # K1 bounds (DIA) as values
     tmax, tmin = _dia_bounds_vals(
-        wb1_ref, dlev_ref, scr_a1, LO, TT, lo_t_ref[:], ttf_t_ref[:],
-        nlev, z, i, Lp, TN, D, vlimit)
+        wb1_ref, dlev_ref, scr_a1, _concat(LO), _concat(TT), lo_t_ref[:],
+        ttf_t_ref[:], nlev, z, i, Lp, TN, D, vlimit)
     tt_out_ref[:Lp] = tmax
     tt_out_ref[Lp:] = tmin
 

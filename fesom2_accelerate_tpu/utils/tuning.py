@@ -119,7 +119,7 @@ class _Chain:
 
         ps, cfg = self.ps, self.cfg
         if ps.a3f_dia_D:
-            return kernels.bounds_dia_pallas(
+            return kernels.bounds_dia_dma_pallas(
                 lo, ttf, pd.a3f_dia_wb, pd.a3f_dia_lev, pd.nlev_nod_row,
                 tile=ps.tile, nblocks=ps.a3f_un_nblocks, D=ps.a3f_dia_D,
                 vlimit=cfg.vlimit)
