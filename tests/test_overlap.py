@@ -112,7 +112,10 @@ def test_pre_exchange_kernels_independent(traced_sharded_pallas_step):
     """K1, K2 (incl. fused b3v — the reference's inter_comm overlap) run
     before/independent of the collective."""
     deps = _pallas_deps(traced_sharded_pallas_step)
-    k1 = "fct_bounds_dia" if "fct_bounds_dia" in deps else "fct_bounds"
+    k1 = next(
+        (k for k in ("fct_bounds_dia_dma", "fct_bounds_dia", "fct_bounds") if k in deps),
+        "fct_bounds",
+    )
     for k in (k1, "fct_limit"):
         assert deps.get(k) == [False], (k, deps.get(k))
 
