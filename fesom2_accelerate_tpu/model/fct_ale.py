@@ -127,7 +127,7 @@ class FctAleSolver:
     def __init__(self, mesh: Mesh, cfg: FctAleConfig = FctAleConfig(),
                  backend: str = "xla", tile: "int | None" = None,
                  chunk: "int | None" = None,
-                 scatter_chunk: "int | None" = None):
+                 scatter_chunk: "int | None" = None, form: str = "auto"):
         self.mesh = mesh
         self.cfg = cfg
         self.backend = backend
@@ -140,8 +140,19 @@ class FctAleSolver:
             from fesom2_accelerate_tpu.ops.pallas import step as pstep
 
             assert cfg.dtype == jnp.float32, "pallas backend is f32-only"
+            # form: "auto" picks the packed/DIA fast forms when the mesh
+            # admits them; "onehot" forces the fallback kernels (the
+            # tuner's / on-chip parity probe's form axis); "packed"
+            # requires the fast forms (raises otherwise)
+            kw = {}
+            if form == "onehot":
+                kw = dict(dia_max=0, pack_pmax=0)
             self.pd, self.ps = pstep.build_pallas_data(
-                mesh, tile=tile, chunk=chunk, scatter_chunk=scatter_chunk)
+                mesh, tile=tile, chunk=chunk, scatter_chunk=scatter_chunk,
+                **kw)
+            if form == "packed" and not (self.ps.pack_K
+                                         and self.ps.a3f_dia_D):
+                raise ValueError("mesh does not admit the packed/DIA forms")
             self.md = self.pd.md
             self._mesh_arg = self.pd
             ps, c = self.ps, self.cfg

@@ -28,7 +28,10 @@ def _ru(x: int, m: int) -> int:
 
 class Stress2RhsSolver:
     def __init__(self, mesh: Mesh, dtype=jnp.float32, backend: str = "xla",
-                 tile: "int | None" = None):
+                 tile: "int | None" = None, form: str = "auto"):
+        """``form`` (pallas backend): "auto" picks packed when the mesh
+        admits it, "onehot" forces the one-hot scatter (the tuner's form
+        axis), "packed" requires the packed plan (raises otherwise)."""
         self.mesh = mesh
         self.dtype = dtype
         self.backend = backend
@@ -58,7 +61,10 @@ class Stress2RhsSolver:
                        (TILE_PACKED if mesh.n_nodes >= 2 * TILE_PACKED
                         else TILE_ONEHOT))
             Np_pk = _ru(mesh.n_nodes, pk_tile)
-            pk = build_packed_s2r_plan(mesh, pk_tile, Np_pk)
+            pk = (None if form == "onehot"
+                  else build_packed_s2r_plan(mesh, pk_tile, Np_pk))
+            if form == "packed" and pk is None:
+                raise ValueError("mesh does not admit the packed s2r form")
             if pk is not None:
                 self._init_packed(mesh, kernels_packed, pk, pk_tile, Np_pk)
                 return

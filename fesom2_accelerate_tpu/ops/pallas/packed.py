@@ -58,18 +58,33 @@ class PackedPlan:
     g_ind: np.ndarray  # [T, P_g, tile] int32 0/1 pair-selection indicator
 
 
-def _slot_assign(edges: np.ndarray, n_nodes: int):
+def _slot_assign(edges: np.ndarray, n_nodes: int,
+                 valid: "np.ndarray | None" = None):
     """Canonical home-slot assignment: home = n0, slots ordered by offset
-    d = n1 - n0 (deterministic, offset-regular on structured meshes)."""
+    d = n1 - n0 (deterministic, offset-regular on structured meshes).
+
+    ``valid`` masks out padded/degenerate edges (``nlev_edge == 0``): the
+    partition machinery pads every part's edge array to the max count across
+    parts with index-0 rows (parallel/partition.py), and homing those at
+    node 0 would inflate the slot count to the padding count — the round-3
+    failure that silently knocked every sharded run off the packed path.
+    Invalid edges get slot 0 and claim no (slot, home) cell."""
     Ed = edges.shape[0]
-    d = edges[:, 1] - edges[:, 0]
-    order = np.lexsort((d, edges[:, 0]))
-    cnt = np.bincount(edges[:, 0], minlength=n_nodes)
+    if valid is None:
+        valid = np.ones(Ed, dtype=bool)
+    slot = np.zeros(Ed, dtype=np.int32)
+    idx = np.nonzero(valid)[0]
+    if not len(idx):
+        return slot, 1
+    ev = edges[idx]
+    d = ev[:, 1] - ev[:, 0]
+    order = np.lexsort((d, ev[:, 0]))
+    cnt = np.bincount(ev[:, 0], minlength=n_nodes)
     offs = np.zeros(n_nodes + 1, dtype=np.int64)
     np.cumsum(cnt, out=offs[1:])
-    slot = np.empty(Ed, dtype=np.int32)
-    slot[order] = (np.arange(Ed) - offs[edges[order, 0]]).astype(np.int32)
-    return slot, int(cnt.max()) if Ed else 1
+    slot[idx[order]] = (np.arange(len(idx)) - offs[ev[order, 0]]).astype(
+        np.int32)
+    return slot, int(cnt.max())
 
 
 def _pair_sets(key_tile: np.ndarray, slot: np.ndarray, d: np.ndarray,
@@ -105,13 +120,16 @@ def build_packed_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
     Ed = edges.shape[0]
     N = mesh.n_nodes
     T = Np // tile
-    slot, K_own = _slot_assign(edges, N)
+    evalid = np.asarray(mesh.nlev_edge) > 0  # padded part edges carry 0
+    slot, K_own = _slot_assign(edges, N, evalid)
     d = (edges[:, 1] - edges[:, 0]).astype(np.int64)
 
     ht = edges[:, 0] // tile  # home tile (gather pairs keyed here)
     ot = edges[:, 1] // tile  # other-endpoint tile (scatter pairs keyed here)
-    g_pairs, Pk_g_own = _pair_sets(ht, slot, d, T, K_own)
-    s_pairs, Pk_s_own = _pair_sets(ot, slot, d, T, K_own)
+    g_pairs, Pk_g_own = _pair_sets(ht[evalid], slot[evalid], d[evalid], T,
+                                   K_own)
+    s_pairs, Pk_s_own = _pair_sets(ot[evalid], slot[evalid], d[evalid], T,
+                                   K_own)
     P_g_own = sum(Pk_g_own)
     P_s_own = sum(Pk_s_own)
 
@@ -128,11 +146,13 @@ def build_packed_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
         K, Pk_s, Pk_g = K_own, Pk_s_own, Pk_g_own
         J_sc = J_g = 0  # sized below
 
-    # ---- home-slot arrays -------------------------------------------------
+    # ---- home-slot arrays (valid edges only: a padded edge must not claim
+    # — or clobber — a real edge's (slot, home) cell) ----------------------
     lev_home = np.zeros((K, Np), dtype=np.int32)
     einv = np.full((K, Np), -1, dtype=np.int32)
-    lev_home[slot, edges[:, 0]] = mesh.nlev_edge
-    einv[slot, edges[:, 0]] = np.arange(Ed, dtype=np.int32)
+    lev_home[slot[evalid], edges[evalid, 0]] = mesh.nlev_edge[evalid]
+    einv[slot[evalid], edges[evalid, 0]] = np.arange(Ed, dtype=np.int32)[
+        evalid]
 
     # ---- window sizing ----------------------------------------------------
     # scatter (K2/K4): tile t reads F-slab columns {n1_tile - d} U [t0, t0+TN)
@@ -142,9 +162,9 @@ def build_packed_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
     # tiles have pairs whose offset exceeds t0 — those lanes have no edge
     # and wrap around the window, masked in-kernel like K1's DIA shifts)
     sc_min = t0s.copy()
-    np.minimum.at(sc_min, ot, edges[:, 0].astype(np.int64))
+    np.minimum.at(sc_min, ot[evalid], edges[evalid, 0].astype(np.int64))
     g_max = t0s + tile - 1
-    np.maximum.at(g_max, ht, edges[:, 1].astype(np.int64))
+    np.maximum.at(g_max, ht[evalid], edges[evalid, 1].astype(np.int64))
     j_sc_own = int(((t0s + tile - 1) // BLOCK - sc_min // BLOCK + 1).max())
     j_g_own = int((g_max // BLOCK - t0s // BLOCK + 1).max())
     if common_static is not None:
@@ -194,7 +214,7 @@ def build_packed_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
 
     # per-(pair, node) tensors: scatter level bounds keyed at the RECEIVING
     # (n1) node; gather indicators keyed at the HOME (n0) node
-    for e in range(Ed):
+    for e in np.nonzero(evalid)[0]:
         k, dv = int(slot[e]), int(d[e])
         t = int(ot[e])
         sc_lev[t, pair_pos_s[t][(k, dv)],
@@ -240,13 +260,23 @@ def build_packed_s2r_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
     E, N = mesh.n_elems, mesh.n_nodes
     T = Np // tile
     home = en.min(axis=1).astype(np.int64)
-    cnt = np.bincount(home, minlength=N)
-    K_own = int(cnt.max()) if E else 1
-    order = np.argsort(home, kind="stable")
-    offs = np.zeros(N + 1, dtype=np.int64)
-    np.cumsum(cnt, out=offs[1:])
-    slot = np.empty(E, dtype=np.int32)
-    slot[order] = (np.arange(E) - offs[home[order]]).astype(np.int32)
+    # padded part elements are index-0 degenerate triangles (all corners
+    # equal, parallel/partition.py): they must not claim home slots, or a
+    # boundary part's slot count inflates to its padding count
+    valid = ~((en[:, 0] == en[:, 1]) & (en[:, 1] == en[:, 2]))
+    vidx = np.nonzero(valid)[0]
+    slot = np.zeros(E, dtype=np.int32)
+    if len(vidx):
+        hv = home[vidx]
+        cnt = np.bincount(hv, minlength=N)
+        K_own = int(cnt.max())
+        order = np.argsort(hv, kind="stable")
+        offs = np.zeros(N + 1, dtype=np.int64)
+        np.cumsum(cnt, out=offs[1:])
+        slot[vidx[order]] = (np.arange(len(vidx)) - offs[hv[order]]).astype(
+            np.int32)
+    else:
+        K_own = 1
 
     # per-(target tile, slot) distinct offsets over the two non-home corners
     pair_sets = [dict() for _ in range(T)]  # (k, d) -> pair pos (later)
@@ -275,9 +305,9 @@ def build_packed_s2r_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
 
     einv = np.full((K, Np), -1, dtype=np.int32)
     hc = np.zeros((K, Np), dtype=np.int32)
-    einv[slot, home] = np.arange(E, dtype=np.int32)
+    einv[slot[valid], home[valid]] = np.arange(E, dtype=np.int32)[valid]
     home_pos = np.argmin(en, axis=1).astype(np.int32)
-    hc[slot, home] = home_pos + 1
+    hc[slot[valid], home[valid]] = home_pos[valid] + 1
 
     t0s = np.arange(T, dtype=np.int64) * tile
     sc_min = t0s.copy()

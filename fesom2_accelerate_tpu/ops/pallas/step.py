@@ -144,6 +144,25 @@ class PallasData:
     pk_g_ind: jax.Array  # [T_n, P_g, tile] int32
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PadMaps:
+    """The subset of PallasData that pad_state/unpad_state actually use
+    (edge<->slot maps).  The sharded solver keeps a HOST-side stacked copy:
+    in multi-process runs the full stacked PallasData is a global sharded
+    array, and padding through it would make init_state outputs span
+    non-addressable devices."""
+
+    pk_einv: jax.Array  # [K, Np]
+    pk_eslot: jax.Array  # [Edp]
+    starts_col: jax.Array  # [Edp, 1]
+
+
+def pad_maps(pd: PallasData) -> PadMaps:
+    return PadMaps(pk_einv=pd.pk_einv, pk_eslot=pd.pk_eslot,
+                   starts_col=pd.starts_col)
+
+
 @dataclasses.dataclass(frozen=True)
 class PallasStatic:
     """Static companion of PallasData (shapes / window block counts)."""

@@ -108,3 +108,98 @@ def stress2rhs_bytes(mesh: Mesh, itemsize: int = 4) -> int:
     b += 5 * N * f  # inv_areamass, rhs_a, rhs_m reads; U, V writes
     b += 3 * 4 * E  # elem_nodes int32
     return b
+
+
+def fct_ale_step_bytes_physical(ps, iter_yn: bool = False) -> "int | None":
+    """PHYSICAL HBM traffic of one fused-chain step in the packed+DIA
+    production form — operands each kernel actually moves, per tile,
+    including the K-slab inflation of edge fields and the window-overlap
+    factor (tiles read [rows, J*128] windows wider than the tile).
+
+    This is the honest numerator for a measured-roof fraction: unlike
+    :func:`fct_ale_step_bytes` (the reference-style stage model, which
+    counts stage-boundary arrays the fused kernels never materialize —
+    reference kernels/fct_ale_a1.py:93-95 counts actual kernel traffic),
+    it counts exactly the tile/window transfers the four pallas_calls
+    issue.  Returns None when the mesh does not run the packed+DIA form
+    (ps.pack_K == 0 or ps.a3f_dia_D == 0).
+
+    ``ps``: a PallasStatic (ops/pallas/step.py).
+    """
+    if not getattr(ps, "pack_K", 0) or not getattr(ps, "a3f_dia_D", 0):
+        return None
+    f = 4  # the packed chain is f32-only
+    Np, Lp, Lpv, K = ps.Np, ps.Lp, ps.Lpv, ps.pack_K
+    T = Np // ps.tile
+    W_un = ps.a3f_un_nblocks * 128  # K1 DIA window width
+    W_sc = ps.pack_J_sc * 128  # K2/K4 packed scatter window width
+    W_g = ps.pack_J_g * 128  # K3 gather window width
+    P_s, P_g = sum(ps.pack_Pk_s), sum(ps.pack_Pk_g)
+    D = ps.a3f_dia_D
+
+    b = 0
+    if ps.fuse_k12 and D and ps.pack_K:
+        # fused K1+K2: LO/ttf tile + window reads, adf_v/area_inv tiles,
+        # F window; writes tt + pm + av (+resid)
+        b += f * (2 * Lp * Np + 2 * Lp * T * W_un)
+        b += f * (Lpv * Np + Lp * Np + K * Lp * T * W_sc)
+        b += 4 * (D * Np + Np + K * Np + P_s * Np)
+        b += f * (2 * Lp * Np + 2 * Lp * Np + Lpv * Np)
+        if iter_yn:
+            b += f * Lpv * Np
+    else:
+        # K1 bounds (DIA DMA): aligned LO/ttf tiles + one [2Lp, W] window
+        # copy per tile; writes tt [2Lp, Np]; int: dia_lev + nlev row
+        b += f * (2 * Lp * Np + 2 * Lp * T * W_un) + 4 * (D * Np + Np)
+        b += f * 2 * Lp * Np
+        # K2 limit: adf_v + tt + area_inv tiles, F window; writes pm + av
+        b += f * (Lpv * Np + 2 * Lp * Np + Lp * Np + K * Lp * T * W_sc)
+        b += 4 * (Np + K * Np + P_s * Np)
+        b += f * (2 * Lp * Np + Lpv * Np)
+        if iter_yn:
+            b += f * Lpv * Np  # adf_v residual output
+    # K3 b3h: F tile + pm window; writes limited F (+resid)
+    b += f * (K * Lp * Np + 2 * Lp * T * W_g) + 4 * (K * Np + P_g * Np)
+    b += f * K * Lp * Np
+    if iter_yn:
+        b += f * K * Lp * Np
+    # K4 update: av_lim + 7 node tiles + F window; writes o1 + o2
+    b += f * (Lpv * Np + 7 * Lp * Np + K * Lp * T * W_sc)
+    b += 4 * (Np + K * Np + P_s * Np)
+    b += f * 2 * Lp * Np
+    return b
+
+
+def measure_stream_bandwidth(n_bytes: int = 2 ** 28, iters: int = 30,
+                             reps: int = 3) -> float:
+    """Measured read+write streaming bandwidth of THIS device (bytes/s):
+    a scan-chained elementwise update of one large f32 array (each step
+    reads and writes n_bytes).  This is the rig's real copy roof — the
+    datasheet peak is not reachable through this tunnel (BASELINE.md) —
+    and the denominator for the honest physical-bytes fraction."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    n = n_bytes // 4
+    x = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def run(x):
+        def body(c, _):
+            return c * 1.0000001 + 1e-9, None
+
+        y, _ = jax.lax.scan(body, x, None, length=iters)
+        return y
+
+    def sync(y):
+        return float(y[0])
+
+    sync(run(x))  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(run(x))
+        best = min(best, time.perf_counter() - t0)
+    return 2.0 * n_bytes * iters / best

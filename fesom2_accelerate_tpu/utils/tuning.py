@@ -403,10 +403,17 @@ def tune_step(mesh, tiles=(256, 512, 1024), steps=10, rtol=1e-4,
     return results
 
 
-def tune_stress2rhs(mesh, tiles=(128, 256, 512), iters=20, rtol=1e-5):
-    """Sweep the stress2rhs Pallas scatter's tile size vs the XLA backend
+def tune_stress2rhs(mesh, tiles=(128, 256, 512, 1024), iters=30, rtol=1e-5,
+                    forms=("packed", "onehot")):
+    """Sweep the stress2rhs scatter over (form, tile) vs the XLA backend
     (the f64-vs-oracle gate lives in the CPU test suite; on-device the XLA
-    f32 path is the available reference)."""
+    f32 path is the available reference).
+
+    Timing is SCAN-CHAINED (the carry feeds the next call) — ``iters``
+    un-chained dispatches with one trailing sync measure dispatch
+    pipelining, not device time (the round-2 bench.py lesson; this sweep
+    regressed it in round 3, VERDICT weak #4)."""
+    import jax
     import jax.numpy as jnp
 
     from fesom2_accelerate_tpu.model.stress2rhs import Stress2RhsSolver
@@ -421,23 +428,53 @@ def tune_stress2rhs(mesh, tiles=(128, 256, 512), iters=20, rtol=1e-5):
     ref = Stress2RhsSolver(mesh, dtype=jnp.float32, backend="xla")(*host)
     nbytes = stress2rhs_bytes(mesh, 4)
     results = []
-    for tile in tiles:
-        solver = Stress2RhsSolver(mesh, dtype=jnp.float32,
-                                  backend="pallas", tile=tile)
-        dargs = [jnp.asarray(a, jnp.float32) for a in host]
-        out = solver(*dargs)
-        err = max(_relerr(out[0], ref[0]), _relerr(out[1], ref[1]))
-        _sync(out[0])
-        t0 = time.perf_counter()
-        for _ in range(iters):
+    for form in forms:
+        for tile in tiles:
+            try:
+                solver = Stress2RhsSolver(mesh, dtype=jnp.float32,
+                                          backend="pallas", tile=tile,
+                                          form=form)
+            except (ValueError, AssertionError):
+                continue  # form not admissible on this mesh at this tile
+            dargs = [jnp.asarray(a, jnp.float32) for a in host]
             out = solver(*dargs)
-        _sync(out[0])
-        ms = (time.perf_counter() - t0) / iters * 1e3
-        results.append(TuneResult(
-            params=dict(tile=tile),
-            ms=round(ms, 4),
-            gbps=round(nbytes / (ms * 1e-3) / 1e9, 2),
-            max_relerr=float(err),
-            ok=bool(err < rtol),
-        ))
+            err = max(_relerr(out[0], ref[0]), _relerr(out[1], ref[1]))
+
+            # resident-state per-substep call, like bench.py: element state
+            # packed once (packed form) or passed per call (one-hot)
+            eps = jnp.asarray(1e-30, jnp.float32)
+            rhs_m = dargs[-1]
+            if getattr(solver, "_packed", False):
+                packed_el = solver.pack_elem_inputs(*dargs[:7])
+                extra = (solver._pk_wb, solver._pk_hc, solver._pk_ind,
+                         packed_el, dargs[7])
+
+                def call1(extra, ra, rm, _s=solver):
+                    return _s._call_packed(*extra, ra, rm)
+            else:
+                extra = (solver._wb2, *solver._ids, *dargs[:-2])
+
+                def call1(extra, ra, rm, _s=solver):
+                    return _s._fn(*extra, ra, rm)
+
+            @jax.jit
+            def scan_calls(extra, rhs_a, rhs_m, _call1=call1):
+                def body(ra, _):
+                    u, _v = _call1(extra, ra, rhs_m)
+                    return ra + eps * u, None
+
+                out, _ = jax.lax.scan(body, rhs_a, None, length=iters)
+                return out
+
+            _sync(scan_calls(extra, dargs[-2], rhs_m))
+            t0 = time.perf_counter()
+            _sync(scan_calls(extra, dargs[-2], rhs_m))
+            ms = (time.perf_counter() - t0) / iters * 1e3
+            results.append(TuneResult(
+                params=dict(tile=tile, form=form),
+                ms=round(ms, 4),
+                gbps=round(nbytes / (ms * 1e-3) / 1e9, 2),
+                max_relerr=float(err),
+                ok=bool(err < rtol),
+            ))
     return results

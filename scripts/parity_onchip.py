@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Automated ON-CHIP parity probe — run each round on the real TPU.
+
+Interpret-mode CI cannot certify the kernels: round 2's DIA bounds kernel
+used negative dynamic ``pltpu.roll`` shifts that were correct in interpret
+mode (every CPU test passed) yet silently miscompiled on hardware
+(BASELINE.md "Round-3 correctness note").  This script is the gate that
+caught it, automated (round-3 verdict asked for it as a committed
+artifact):
+
+* sweeps {packed+DIA, one-hot} x {vlimit 1,2,3} x {iter_yn} comparing the
+  fused Pallas chain against the XLA f32 step ON CHIP (max relerr per
+  output; the limiter bounds additionally checked bit-exact),
+* runs one slow ON-CHIP f64 XLA step of the small preset against the CPU
+  numpy oracle — closing the "does the chip compute the reference
+  semantics" loop end-to-end (reference gate: ``real_type = double``,
+  reference include/fesom2-accelerate.h:10),
+* writes ``perf/parity_onchip.json``.
+
+Usage: python scripts/parity_onchip.py [--preset pi] [--out perf/parity_onchip.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _relerr(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.abs(a - b).max() / max(np.abs(b).max(), 1.0))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="pi")
+    ap.add_argument("--out", default="perf/parity_onchip.json")
+    ap.add_argument("--allow-cpu", action="store_true",
+                    help="run even without a TPU (artifact marked as such)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_f2t")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from fesom2_accelerate_tpu.config import FctAleConfig
+    from fesom2_accelerate_tpu.mesh import generate_planar_mesh, random_fields
+    from fesom2_accelerate_tpu.model.fct_ale import FctAleSolver
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    if not on_tpu and not args.allow_cpu:
+        print("no TPU visible — on-chip parity requires the real chip",
+              file=sys.stderr)
+        sys.exit(1)
+
+    mesh = generate_planar_mesh(preset=args.preset)
+    fields = random_fields(mesh, seed=0, dtype=np.float64)
+    fields32 = {k: v.astype(np.float32) for k, v in fields.items()}
+
+    record = {
+        "device": str(getattr(dev, "device_kind", dev)),
+        "platform": dev.platform,
+        "preset": args.preset,
+        "unix_time": int(time.time()),
+        "cases": [],
+    }
+
+    ok_all = True
+    for form in ("packed", "onehot"):
+        for vlimit in (1, 2, 3):
+            for iter_yn in (False, True):
+                cfg = FctAleConfig(dt=0.7, vlimit=vlimit, iter_yn=iter_yn,
+                                   dtype=jnp.float32, flux_eps=1e-7)
+                ref = FctAleSolver(mesh, cfg, backend="xla")
+                ref_out = ref.step(ref.init_state(fields32))
+                sol = FctAleSolver(mesh, cfg, backend="pallas", form=form)
+                out = sol.step(sol.init_state(fields32))
+                keys = ["fct_plus", "fct_minus", "fct_ttf_max",
+                        "fct_ttf_min", "fct_adf_v", "fct_adf_h"]
+                keys += (["fct_LO"] if iter_yn
+                         else ["del_ttf_advvert", "del_ttf_advhoriz"])
+                errs = {k: _relerr(out[k], ref_out[k]) for k in keys}
+                bounds_exact = bool(
+                    np.array_equal(np.asarray(out["fct_ttf_max"]),
+                                   np.asarray(ref_out["fct_ttf_max"]))
+                    and np.array_equal(np.asarray(out["fct_ttf_min"]),
+                                       np.asarray(ref_out["fct_ttf_min"])))
+                case_ok = max(errs.values()) < 2e-6
+                ok_all = ok_all and case_ok
+                record["cases"].append(dict(
+                    form=form, vlimit=vlimit, iter_yn=iter_yn,
+                    pack_K=sol.ps.pack_K, dia_D=sol.ps.a3f_dia_D,
+                    max_relerr=max(errs.values()), errs=errs,
+                    bounds_bitexact=bounds_exact, ok=case_ok,
+                ))
+                print(f"{form} vlimit={vlimit} iter={int(iter_yn)}: "
+                      f"max relerr {max(errs.values()):.2e} "
+                      f"bounds_exact={bounds_exact} ok={case_ok}",
+                      flush=True)
+
+    # ---- end-to-end f64 semantics gate ON CHIP ---------------------------
+    # (TPU f64 is emulated and slow — one small-preset step only)
+    jax.config.update("jax_enable_x64", True)
+    from fesom2_accelerate_tpu.ops import oracle
+
+    mesh64 = generate_planar_mesh(preset="small")
+    f64 = random_fields(mesh64, seed=1)
+    for vlimit in (1,):
+        for iter_yn in (False, True):
+            cfg = FctAleConfig(dt=0.7, vlimit=vlimit, iter_yn=iter_yn,
+                               dtype=jnp.float64)
+            sol = FctAleSolver(mesh64, cfg, backend="xla")
+            out = sol.step(sol.init_state(f64))
+            ref = oracle.fct_ale_step(mesh64, f64, vlimit=vlimit,
+                                      iter_yn=iter_yn, dt=0.7)
+            errs = {k: _relerr(out[k], ref[k]) for k in ref}
+            case_ok = max(errs.values()) < 1e-12
+            ok_all = ok_all and case_ok
+            record["cases"].append(dict(
+                form="xla_f64_vs_oracle", vlimit=vlimit, iter_yn=iter_yn,
+                max_relerr=max(errs.values()), errs=errs, ok=case_ok,
+            ))
+            print(f"f64 on-chip vlimit={vlimit} iter={int(iter_yn)}: "
+                  f"max relerr {max(errs.values()):.2e} ok={case_ok}",
+                  flush=True)
+
+    record["ok"] = ok_all
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(("PASS" if ok_all else "FAIL"), "->", args.out)
+    sys.exit(0 if ok_all else 2)
+
+
+if __name__ == "__main__":
+    main()

@@ -85,3 +85,88 @@ def test_native_stress2rhs(small_mesh):
     )
     masked_allclose(U, rU, msg="native stress2rhs U")
     masked_allclose(V, rV, msg="native stress2rhs V")
+
+
+def _build_host_demo():
+    """Build the host-embedding shim + demo driver (make host)."""
+    import pathlib
+    import subprocess
+
+    native_dir = pathlib.Path(__file__).resolve().parents[1] / "native"
+    demo = native_dir / "build" / "host_embed_demo"
+    try:
+        subprocess.run(["make", "-C", str(native_dir), "host"], check=True,
+                       capture_output=True, timeout=240)
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            subprocess.TimeoutExpired):
+        return None
+    return demo if demo.exists() else None
+
+
+@pytest.mark.parametrize("iter_yn", [False, True])
+def test_host_embedding_abi_matches_solver(tmp_path, iter_yn):
+    """The Fortran/C-callable embedding ABI (native/fesom2_tpu_host.cpp —
+    the reference-L1 analogue, reference include/fesom2-accelerate.h:
+    128-236) drives one FCT-ALE step from a pure-C host program and
+    matches the in-process f64 solver bit-exactly.
+
+    The demo binary owns every array in C memory and talks to the
+    framework only through f2t_init_/f2t_setup_/f2t_dims_/
+    f2t_fct_ale_step_ — a real embedding, not a Python round-trip."""
+    import os
+    import subprocess
+    import sysconfig
+
+    import jax.numpy as jnp
+
+    from fesom2_accelerate_tpu.config import FctAleConfig
+    from fesom2_accelerate_tpu.model.fct_ale import FctAleSolver
+
+    demo = _build_host_demo()
+    if demo is None:
+        pytest.skip("host embedding shim unavailable (no compiler/libpython)")
+
+    mesh = generate_planar_mesh(preset="toy")
+    fields = random_fields(mesh, seed=5)
+    cfg = FctAleConfig(dt=0.5, vlimit=1, iter_yn=iter_yn, dtype=jnp.float64)
+    solver = FctAleSolver(mesh, cfg)
+    ref = solver.step(solver.init_state(fields))
+
+    d = tmp_path
+    L, N, Ed, E = mesh.n_layers, mesh.n_nodes, mesh.n_edges, mesh.n_elems
+    (d / "meta.txt").write_text(
+        f"{E} {mesh.nl} {N} 500 1 {int(iter_yn)} 0\n")
+    mesh.elem_nodes.astype(np.int32).tofile(d / "elem_nodes.bin")
+    mesh.nlev_elem.astype(np.int32).tofile(d / "nlev_elem.bin")
+    mesh.node_xy.astype(np.float64).tofile(d / "node_xy.bin")
+    for k, n in [("ttf", "ttf"), ("fct_LO", "fct_LO"),
+                 ("fct_adf_v", "adf_v"), ("fct_adf_h", "adf_h"),
+                 ("hnode", "hnode"), ("hnode_new", "hnode_new"),
+                 ("del_ttf_advvert", "del_v"),
+                 ("del_ttf_advhoriz", "del_h")]:
+        np.asarray(fields[k], np.float64).tofile(d / f"{n}.bin")
+
+    # the embedded interpreter is the build python (python3-config) — point
+    # it at the framework and this venv's site-packages
+    import fesom2_accelerate_tpu
+
+    repo = os.path.dirname(os.path.dirname(fesom2_accelerate_tpu.__file__))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo, sysconfig.get_paths()["purelib"]])
+    env["JAX_PLATFORMS"] = "cpu"
+    p = subprocess.run([str(demo), str(d)], capture_output=True, text=True,
+                       env=env, timeout=300)
+    assert p.returncode == 0, f"demo failed:\n{p.stdout}\n{p.stderr[-3000:]}"
+
+    checks = [("fct_adf_v", "out_adf_v", (L + 1, N)),
+              ("fct_adf_h", "out_adf_h", (L, Ed))]
+    if iter_yn:
+        checks.append(("fct_LO", "out_fct_LO", (L, N)))
+    else:
+        checks += [("del_ttf_advvert", "out_del_v", (L, N)),
+                   ("del_ttf_advhoriz", "out_del_h", (L, N))]
+    for k, n, shape in checks:
+        got = np.fromfile(d / f"{n}.bin").reshape(shape)
+        np.testing.assert_array_equal(got, np.asarray(ref[k]),
+                                      err_msg=f"host-embed[{k}]")

@@ -89,49 +89,65 @@ def _pallas_deps(jaxpr):
     return deps
 
 
+# kernel-name families: packed (production) and one-hot (fallback) variants.
+# EVERY variant present in the trace is checked — if a fallback branch ever
+# puts both forms in one program, the unchecked one must not silently
+# depend on the exchange (advisor finding, round 3).
+_BOUNDS = ("fct_bounds_dia_dma", "fct_bounds_dia", "fct_bounds")
+_LIMIT = ("fct_limit_fused", "fct_limit_packed", "fct_limit")
+_B3H = ("fct_b3h_packed", "fct_b3h")
+_B3H_FIXUP = ("fct_b3h_packed_fixup", "fct_b3h_fixup")
+_UPDATE = ("fct_update_packed", "fct_update")
+
+
+def _family(deps, names):
+    present = [k for k in names if k in deps]
+    assert present, f"none of {names} in trace; kernels seen: {sorted(deps)}"
+    return present
+
+
 def test_b3h_interior_independent_of_exchange(traced_sharded_pallas_step):
     """K3 (the big post-b2 kernel) must not consume the collective: this is
     what lets XLA run the halo exchange concurrently with it."""
     deps = _pallas_deps(traced_sharded_pallas_step)
-    assert "fct_b3h" in deps, f"kernels seen: {sorted(deps)}"
-    assert deps["fct_b3h"] == [False], (
-        "fct_b3h depends on the ppermute exchange — overlap impossible"
-    )
+    for k in _family(deps, _B3H):
+        assert deps[k] == [False], (
+            f"{k} depends on the ppermute exchange — overlap impossible"
+        )
 
 
 def test_b3h_fixup_depends_on_exchange(traced_sharded_pallas_step):
     """The boundary fixup is the ONLY b3h work gated on the exchange."""
     deps = _pallas_deps(traced_sharded_pallas_step)
-    assert "fct_b3h_fixup" in deps, f"kernels seen: {sorted(deps)}"
-    assert deps["fct_b3h_fixup"] == [True], (
-        "fixup must consume the exchanged factors"
-    )
+    for k in _family(deps, _B3H_FIXUP):
+        assert deps[k] == [True], (
+            f"{k} must consume the exchanged factors"
+        )
 
 
 def test_pre_exchange_kernels_independent(traced_sharded_pallas_step):
     """K1, K2 (incl. fused b3v — the reference's inter_comm overlap) run
     before/independent of the collective."""
     deps = _pallas_deps(traced_sharded_pallas_step)
-    k1 = next(
-        (k for k in ("fct_bounds_dia_dma", "fct_bounds_dia", "fct_bounds") if k in deps),
-        "fct_bounds",
-    )
-    for k in (k1, "fct_limit"):
+    for k in _family(deps, _BOUNDS) + _family(deps, _LIMIT):
         assert deps.get(k) == [False], (k, deps.get(k))
 
 
 def test_update_gated_on_fixup(traced_sharded_pallas_step):
     """Stage c consumes the fixed-up fluxes (correctness of the split)."""
     deps = _pallas_deps(traced_sharded_pallas_step)
-    assert deps.get("fct_update") == [True]
+    for k in _family(deps, _UPDATE):
+        assert deps[k] == [True], (k, deps[k])
 
 
 def test_overlap_step_exact_vs_serial():
     """The overlapped schedule computes EXACTLY what a serial exchange-
-    then-b3h schedule computes (owned columns)."""
-    from jax.experimental.pallas import tpu as pltpu
+    then-b3h schedule computes (owned columns).
 
+    Plain interpret=True (not the TPU-sim): see
+    test_sharded.test_sharded_pallas_matches_single."""
     from fesom2_accelerate_tpu.model.fct_ale import FctAleSolver
+    from fesom2_accelerate_tpu.ops.pallas import kernels as pk
 
     mesh = generate_planar_mesh(preset="small")
     fields = random_fields(mesh, seed=11, dtype=np.float32)
@@ -140,10 +156,14 @@ def test_overlap_step_exact_vs_serial():
     ref = FctAleSolver(mesh, cfg)
     ref_out = ref.step(ref.init_state(fields))
 
-    with pltpu.force_tpu_interpret_mode():
+    pk.set_interpret(True)
+    try:
         sh = ShardedFctAleSolver(mesh, cfg, backend="pallas")
         assert sh.ps.n_fix_tiles > 0  # the overlap path is active
+        assert sh.ps.pack_K > 0  # ... in the production packed form
         out = sh.step(sh.init_state(fields))
+    finally:
+        pk.set_interpret(False)
 
     for k in ("fct_plus", "fct_minus", "fct_adf_v", "del_ttf_advhoriz"):
         got = sh.gather_node(out[k])[: np.asarray(ref_out[k]).shape[0]]

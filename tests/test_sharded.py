@@ -171,8 +171,14 @@ def test_sharded_matches_single(setup, iter_yn, exchange):
 @pytest.mark.parametrize("iter_yn", [False, True])
 def test_sharded_pallas_matches_single(setup, iter_yn):
     """The fused 4-kernel Pallas chain per shard (interpret mode) agrees
-    with the single-device XLA step."""
-    from jax.experimental.pallas import tpu as pltpu
+    with the single-device XLA step.
+
+    Plain ``interpret=True`` (set_interpret), NOT force_tpu_interpret_mode:
+    the TPU-sim's per-kernel global device barrier deadlocks under
+    shard_map when the 8 virtual devices oversubscribe the host cores
+    (all device threads end up blocked inside the interpreter's
+    io_callbacks) — same reason multiproc_worker.py uses it."""
+    from fesom2_accelerate_tpu.ops.pallas import kernels as pk
 
     mesh, fields = setup
     fields32 = {k: v.astype(np.float32) for k, v in fields.items()}
@@ -182,9 +188,18 @@ def test_sharded_pallas_matches_single(setup, iter_yn):
     ref_solver = FctAleSolver(mesh, cfg)
     ref_out = ref_solver.step(ref_solver.init_state(fields32))
 
-    with pltpu.force_tpu_interpret_mode():
+    pk.set_interpret(True)
+    try:
         sh = ShardedFctAleSolver(mesh, cfg, backend="pallas")
+        # the sharded path must run the PRODUCTION packed+DIA forms: the
+        # round-3 regression was boundary parts (padded edges homed at
+        # node 0) silently knocking every shard onto one-hot kernels
+        assert sh.ps.pack_K > 0, "sharded parts must admit the packed form"
+        assert sh.ps.a3f_dia_D > 0, "sharded parts must admit the DIA form"
+        assert sh.degraded == []
         out = sh.step(sh.init_state(fields32))
+    finally:
+        pk.set_interpret(False)
 
     node_keys = ["fct_plus", "fct_minus", "fct_ttf_max", "fct_ttf_min"]
     node_keys += (
@@ -239,11 +254,14 @@ def test_sharded_pallas_fallback_on_irregular_mesh():
 
     pk.set_interpret(True)
     try:
-        sh = ShardedFctAleSolver(mesh, cfg, backend="pallas",
-                                 devices=jax.devices()[:4])
-        # the RCM cylinder's per-tile offset sets overflow both budgets
+        with pytest.warns(RuntimeWarning, match="degraded"):
+            sh = ShardedFctAleSolver(mesh, cfg, backend="pallas",
+                                     devices=jax.devices()[:4])
+        # the RCM cylinder's per-tile offset sets overflow both budgets;
+        # the degradation must be SURFACED, not silent (round-3 weak #1)
         assert sh.ps.a3f_dia_D == 0, "expected DIA fallback"
         assert sh.ps.pack_K == 0, "expected packed-layout fallback"
+        assert sorted(sh.degraded) == ["dia->one-hot", "packed->one-hot"]
         out = sh.step(sh.init_state(fields32))
     finally:
         pk.set_interpret(False)
