@@ -70,6 +70,14 @@ def main():
     nmax = args.max_devices or len(devices)
     counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= nmax]
 
+    if args.backend == "pallas" and devices[0].platform == "cpu":
+        # plain interpret=True on the virtual CPU mesh (NOT the TPU-sim,
+        # whose global per-kernel barrier deadlocks under shard_map when
+        # the virtual devices oversubscribe the host cores)
+        from fesom2_accelerate_tpu.ops.pallas import kernels as pk
+
+        pk.set_interpret(True)
+
     # single-device reference for the exactness gate (same n_steps)
     ref_solver = FctAleSolver(mesh, cfg, backend=args.backend)
     ref_state = ref_solver.run(ref_solver.init_state(fields), args.steps)

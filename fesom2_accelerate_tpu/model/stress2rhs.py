@@ -49,17 +49,19 @@ class Stress2RhsSolver:
                 build_gather_plan,
             )
             from fesom2_accelerate_tpu.ops.pallas.step import (
-                TILE as TILE_PACKED,
                 TILE_ONEHOT,
+                default_tile,
             )
 
             assert dtype == jnp.float32, "pallas backend is f32-only"
             # packed (home-slot DIA) scatter when the mesh admits it — the
             # one-hot form wastes the MXU on 2-row operands (tuner: ~2 ms
             # vs ~0.1 ms); one-hot remains the irregular-mesh fallback
-            pk_tile = (tile if tile is not None else
-                       (TILE_PACKED if mesh.n_nodes >= 2 * TILE_PACKED
-                        else TILE_ONEHOT))
+            # round-4 sweep (perf/tune_core2_stress2rhs.json): packed wins
+            # at every tile (2.3x over one-hot); 1024 is the winner (1.01
+            # vs 1.05 ms at 2048), so cap the adaptive default there
+            pk_tile = (tile if tile is not None
+                       else min(default_tile(mesh.n_nodes), 1024))
             Np_pk = _ru(mesh.n_nodes, pk_tile)
             pk = (None if form == "onehot"
                   else build_packed_s2r_plan(mesh, pk_tile, Np_pk))

@@ -46,11 +46,22 @@ from fesom2_accelerate_tpu.ops.pallas.plan import (
 
 # default tiles by kernel form (tuner-justified, perf/tune_*.json): the
 # packed/DIA kernels are window-DMA-bound — larger tiles amortize the
-# per-tile window over-read ((tile + 2*bandwidth) / tile) — while the
-# one-hot fallback's contraction cost grows with window width, favoring
-# small tiles (round-2 sweep).
-TILE = 1024
+# per-tile window over-read ((tile + 2*bandwidth) / tile), so the default
+# picks the LARGEST tile the mesh supports (round-4 sweep on CORE2 with
+# the double-buffered DMA windows: 2.46 ms at 2048 vs 2.61 at 1024 vs
+# 2.70 at 4096) — while the one-hot fallback's contraction cost grows
+# with window width, favoring small tiles (round-2 sweep).
+TILE = 2048
+TILE_MID = 1024
 TILE_ONEHOT = 256
+
+
+def default_tile(n_nodes: int) -> int:
+    """Largest default tile with at least two tiles of nodes."""
+    for t in (TILE, TILE_MID):
+        if n_nodes >= 2 * t:
+            return t
+    return TILE_ONEHOT
 
 
 def _ru(x: int, m: int) -> int:
@@ -276,7 +287,7 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
             # the big tile only pays off when it amortizes the window
             # over-read across many tiles; small meshes keep the small tile
             # (also keeps the interpret-mode CPU test suite fast)
-            tile = TILE if mesh.n_nodes >= 2 * TILE else TILE_ONEHOT
+            tile = default_tile(mesh.n_nodes)
         chunk = 1024 if chunk is None else chunk
         scatter_chunk = 512 if scatter_chunk is None else scatter_chunk
     N, E, Ed, L = mesh.n_nodes, mesh.n_elems, mesh.n_edges, mesh.n_layers

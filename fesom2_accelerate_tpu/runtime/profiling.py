@@ -170,13 +170,19 @@ def fct_ale_step_bytes_physical(ps, iter_yn: bool = False) -> "int | None":
     return b
 
 
-def measure_stream_bandwidth(n_bytes: int = 2 ** 28, iters: int = 30,
+def measure_stream_bandwidth(n_bytes: int = 2 ** 29, iters: int = 20,
                              reps: int = 3) -> float:
-    """Measured read+write streaming bandwidth of THIS device (bytes/s):
-    a scan-chained elementwise update of one large f32 array (each step
-    reads and writes n_bytes).  This is the rig's real copy roof — the
-    datasheet peak is not reachable through this tunnel (BASELINE.md) —
-    and the denominator for the honest physical-bytes fraction."""
+    """Measured streaming bandwidth of THIS device (bytes/s): a
+    scan-chained triad (2 reads + 1 write of a large f32 array per step).
+    This is the rig's real memory roof — the datasheet peak is not
+    reachable through this tunnel — and the denominator for the honest
+    physical-bytes fraction.
+
+    Measured on the tunneled v5e: the apparent bandwidth grows with the
+    buffer (update/triad: 100/149 GB/s at 64 MiB, 236/307 at 256 MiB,
+    345/422 at 512 MiB), consistent with a ~1 ms fixed per-pass overhead
+    over a ~500 GB/s stream rate; 512 MiB triad is the closest analogue
+    of the step kernels' multi-operand passes."""
     import time
 
     import jax
@@ -184,22 +190,23 @@ def measure_stream_bandwidth(n_bytes: int = 2 ** 28, iters: int = 30,
 
     n = n_bytes // 4
     x = jnp.ones((n,), jnp.float32)
+    b = jnp.ones((n,), jnp.float32)
 
     @jax.jit
-    def run(x):
+    def run(a, b):
         def body(c, _):
-            return c * 1.0000001 + 1e-9, None
+            return c + b * 0.5, None
 
-        y, _ = jax.lax.scan(body, x, None, length=iters)
+        y, _ = jax.lax.scan(body, a, None, length=iters)
         return y
 
     def sync(y):
         return float(y[0])
 
-    sync(run(x))  # compile + warm
+    sync(run(x, b))  # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        sync(run(x))
+        sync(run(x, b))
         best = min(best, time.perf_counter() - t0)
-    return 2.0 * n_bytes * iters / best
+    return 3.0 * n_bytes * iters / best

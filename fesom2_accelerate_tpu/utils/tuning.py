@@ -87,7 +87,7 @@ def default_configs(packed_ok: bool):
     """The swept launch-configuration space (form, tile, chunks)."""
     cfgs = []
     if packed_ok:
-        for tile in (256, 512, 1024):
+        for tile in (256, 512, 1024, 2048):
             cfgs.append(dict(form="packed", tile=tile))
     for tile, chunk, sc in ((256, 1024, 512), (256, 512, 256),
                             (512, 1024, 512)):
@@ -344,7 +344,7 @@ def tune_a2(mesh, tiles=(128, 256, 512), iters=20, rtol=1e-5):
     return results
 
 
-def tune_step(mesh, tiles=(256, 512, 1024), steps=10, rtol=1e-4,
+def tune_step(mesh, tiles=(256, 512, 1024, 2048, 4096), steps=10, rtol=1e-4,
               preset_name=""):
     """Sweep the fused Pallas step's tile size; validate each configuration
     against the f64 numpy oracle; report time + throughput.
@@ -403,8 +403,8 @@ def tune_step(mesh, tiles=(256, 512, 1024), steps=10, rtol=1e-4,
     return results
 
 
-def tune_stress2rhs(mesh, tiles=(128, 256, 512, 1024), iters=30, rtol=1e-5,
-                    forms=("packed", "onehot")):
+def tune_stress2rhs(mesh, tiles=(128, 256, 512, 1024, 2048), iters=30,
+                    rtol=1e-5, forms=("packed", "onehot")):
     """Sweep the stress2rhs scatter over (form, tile) vs the XLA backend
     (the f64-vs-oracle gate lives in the CPU test suite; on-device the XLA
     f32 path is the available reference).
