@@ -78,9 +78,13 @@ def main():
     # warmup compiles the same length-N scan the timed call reuses
     sync(solver.run(state, args.steps))
 
-    t0 = time.perf_counter()
-    sync(solver.run(state, args.steps))
-    dt_s = (time.perf_counter() - t0) / args.steps
+    # best of 3: the tunneled backend shows ~10% run-to-run spread; the
+    # minimum is the honest device-time estimate (noise only adds)
+    dt_s = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sync(solver.run(state, args.steps))
+        dt_s = min(dt_s, (time.perf_counter() - t0) / args.steps)
 
     gp = grid_points(mesh)
     gps = gp / dt_s

@@ -74,9 +74,18 @@ def setup(n_elems: int, nl: int, elem_nodes_addr: int, nlev_elem_addr: int,
         mesh = build_mesh_from_elements(elem_nodes, nlev_elem, nl, node_xy)
         mesh.validate()
         if backend == 1:
+            import jax
+
             cfg = FctAleConfig(dt=dt_milli * 1e-3, vlimit=vlimit,
                                iter_yn=bool(iter_yn), dtype=jnp.float32,
                                flux_eps=1e-7)
+            if jax.devices()[0].platform != "tpu":
+                # CPU host without a chip: run the same pallas program
+                # through the plain interpreter so the embedding path
+                # stays exercisable everywhere
+                from fesom2_accelerate_tpu.ops.pallas import kernels as pk
+
+                pk.set_interpret(True)
             solver = FctAleSolver(mesh, cfg, backend="pallas")
         else:
             import jax

@@ -103,8 +103,9 @@ def _build_host_demo():
     return demo if demo.exists() else None
 
 
-@pytest.mark.parametrize("iter_yn", [False, True])
-def test_host_embedding_abi_matches_solver(tmp_path, iter_yn):
+@pytest.mark.parametrize("iter_yn,backend", [(False, 0), (True, 0),
+                                             (False, 1)])
+def test_host_embedding_abi_matches_solver(tmp_path, iter_yn, backend):
     """The Fortran/C-callable embedding ABI (native/fesom2_tpu_host.cpp —
     the reference-L1 analogue, reference include/fesom2-accelerate.h:
     128-236) drives one FCT-ALE step from a pure-C host program and
@@ -128,6 +129,9 @@ def test_host_embedding_abi_matches_solver(tmp_path, iter_yn):
 
     mesh = generate_planar_mesh(preset="toy")
     fields = random_fields(mesh, seed=5)
+    # backend 0 = XLA f64 (bit-exact vs the in-process f64 solver);
+    # backend 1 = the fused pallas f32 chain (plain interpret on a CPU
+    # host) — compared at f32 tolerance
     cfg = FctAleConfig(dt=0.5, vlimit=1, iter_yn=iter_yn, dtype=jnp.float64)
     solver = FctAleSolver(mesh, cfg)
     ref = solver.step(solver.init_state(fields))
@@ -135,7 +139,7 @@ def test_host_embedding_abi_matches_solver(tmp_path, iter_yn):
     d = tmp_path
     L, N, Ed, E = mesh.n_layers, mesh.n_nodes, mesh.n_edges, mesh.n_elems
     (d / "meta.txt").write_text(
-        f"{E} {mesh.nl} {N} 500 1 {int(iter_yn)} 0\n")
+        f"{E} {mesh.nl} {N} 500 1 {int(iter_yn)} {backend}\n")
     mesh.elem_nodes.astype(np.int32).tofile(d / "elem_nodes.bin")
     mesh.nlev_elem.astype(np.int32).tofile(d / "nlev_elem.bin")
     mesh.node_xy.astype(np.float64).tofile(d / "node_xy.bin")
@@ -168,5 +172,10 @@ def test_host_embedding_abi_matches_solver(tmp_path, iter_yn):
                    ("del_ttf_advhoriz", "out_del_h", (L, N))]
     for k, n, shape in checks:
         got = np.fromfile(d / f"{n}.bin").reshape(shape)
-        np.testing.assert_array_equal(got, np.asarray(ref[k]),
-                                      err_msg=f"host-embed[{k}]")
+        refv = np.asarray(ref[k])
+        if backend == 0:
+            np.testing.assert_array_equal(got, refv,
+                                          err_msg=f"host-embed[{k}]")
+        else:
+            err = np.abs(got - refv).max() / max(np.abs(refv).max(), 1.0)
+            assert err < 2e-6, f"host-embed-pallas[{k}] relerr {err:.2e}"

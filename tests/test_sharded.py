@@ -216,6 +216,25 @@ def test_sharded_pallas_matches_single(setup, iter_yn):
     assert err < 2e-6, f"sharded-pallas[fct_adf_v] relerr {err:.2e}"
 
 
+@pytest.mark.parametrize("vlimit", [2, 3])
+def test_sharded_vlimit23_matches_single(setup, vlimit):
+    """vlimit 2/3 (the variants the reference implemented only in its
+    Fortran spec, docs/refactoring.md:113-148) through the sharded path."""
+    mesh, fields = setup
+    cfg = FctAleConfig(dt=0.7, vlimit=vlimit, dtype=jnp.float64)
+
+    ref_solver = FctAleSolver(mesh, cfg)
+    ref_out = ref_solver.step(ref_solver.init_state(fields))
+
+    sh = ShardedFctAleSolver(mesh, cfg)
+    out = sh.step(sh.init_state(fields))
+    for k in ("fct_plus", "fct_minus", "fct_ttf_max", "fct_ttf_min",
+              "del_ttf_advvert", "del_ttf_advhoriz"):
+        got = sh.gather_node(out[k])
+        masked_allclose(got, np.asarray(ref_out[k]), rtol=1e-12, atol=1e-12,
+                        msg=f"sharded-vlimit{vlimit}[{k}]")
+
+
 def test_sharded_multistep(setup):
     """Iterative mode carries fct_LO across steps through the halo refresh."""
     mesh, fields = setup
