@@ -72,3 +72,44 @@ def test_rcb_sharded_matches_single():
               "del_ttf_advhoriz"):
         masked_allclose(sh.gather_node(out[k]), np.asarray(ref_out[k]),
                         rtol=1e-12, atol=1e-12, msg=f"rcb[{k}]")
+
+
+def test_rcb_sharded_pallas_fallback_surfaced_and_exact():
+    """The pallas backend over an RCB partition: a 2-D part's halo wraps
+    around it, so the [H | owned | H] local numbering has no offset
+    regularity and the packed/DIA admissibility gates reject it — the
+    run must fall back to the one-hot kernels, SAY so (degraded +
+    RuntimeWarning, round-3 weak #1), and stay correct.  (Stripe
+    partitions — the production configuration — run the packed forms;
+    tests/test_sharded.py asserts that side.)"""
+    import pytest
+
+    from fesom2_accelerate_tpu.ops.pallas import kernels as pk
+
+    mesh = generate_planar_mesh(nx=24, ny=24, nl=6)
+    P = 8
+    perm, counts = rcb_order(mesh, P)
+    m2, _ = reorder_mesh(mesh, perm)
+    fields = random_fields(m2, seed=5)
+    f32 = {k: v.astype(np.float32) for k, v in fields.items()}
+    cfg = FctAleConfig(dt=0.7, dtype=jnp.float32, flux_eps=1e-7)
+
+    ref_solver = FctAleSolver(m2, cfg)
+    ref_out = ref_solver.step(ref_solver.init_state(f32))
+
+    pk.set_interpret(True)
+    try:
+        with pytest.warns(RuntimeWarning, match="degraded"):
+            sh = ShardedFctAleSolver(m2, cfg, backend="pallas",
+                                     part_counts=counts)
+        assert "packed->one-hot" in sh.degraded
+        out = sh.step(sh.init_state(f32))
+    finally:
+        pk.set_interpret(False)
+
+    for k in ("fct_plus", "fct_minus", "del_ttf_advvert",
+              "del_ttf_advhoriz"):
+        got = sh.gather_node(out[k])[: m2.n_layers]
+        r = np.asarray(ref_out[k])
+        err = np.abs(got - r).max() / max(np.abs(r).max(), 1.0)
+        assert err < 2e-6, f"rcb-pallas[{k}] relerr {err:.2e}"
