@@ -48,18 +48,38 @@ def main():
         print(json.dumps({"family": name, "stored": path,
                           "best": dataclasses.asdict(b) if b else None}))
 
+    def attempt(fn, *fargs, **fkw):
+        """One retry on transient tunnel/runtime failures: a dropped
+        remote_compile connection must not discard the other families'
+        sweeps (a 40-minute run died that way in round 4)."""
+        for last in (False, True):
+            try:
+                return fn(*fargs, **fkw)
+            except Exception as e:  # noqa: BLE001 - log and retry once
+                print(json.dumps({"family_error": fn.__name__,
+                                  "error": f"{type(e).__name__}: {e}"[:300],
+                                  "retrying": not last}), file=sys.stderr)
+                if last:
+                    return None
+
     if "kernels" in fams:
-        per = tuning.tune_kernels(mesh, iters=args.iters,
-                                  preset_name=args.preset)
-        for fam, results in per.items():
+        per = attempt(tuning.tune_kernels, mesh, iters=args.iters,
+                      preset_name=args.preset)
+        for fam, results in (per or {}).items():
             dump(fam, results)
     if "a2" in fams:
-        dump("a2", tuning.tune_a2(mesh))
+        results = attempt(tuning.tune_a2, mesh)
+        if results:
+            dump("a2", results)
     if "step" in fams:
-        dump("step", tuning.tune_step(mesh, steps=args.iters,
-                                      preset_name=args.preset))
+        results = attempt(tuning.tune_step, mesh, steps=args.iters,
+                          preset_name=args.preset)
+        if results:
+            dump("step", results)
     if "stress2rhs" in fams:
-        dump("stress2rhs", tuning.tune_stress2rhs(mesh))
+        results = attempt(tuning.tune_stress2rhs, mesh)
+        if results:
+            dump("stress2rhs", results)
 
 
 if __name__ == "__main__":
