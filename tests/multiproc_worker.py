@@ -64,6 +64,11 @@ def main():
         solver = ShardedFctAleSolver(mesh, cfg, devices=devices,
                                      backend=backend)
         assert solver._multiproc
+        if backend == "pallas":
+            # multi-process runs must also take the PRODUCTION packed+DIA
+            # forms (round-4: boundary-part padding no longer degrades)
+            assert solver.ps.pack_K > 0, "multiproc parts must pack"
+            assert solver.degraded == []
         fields = random_fields(mesh, seed=0, dtype=np.float32)
         state = solver.init_state(fields)
         if n_steps == 1:
