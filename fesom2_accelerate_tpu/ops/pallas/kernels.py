@@ -401,12 +401,15 @@ def bounds_pallas(fct_LO_pad, ttf_pad, lidx_lo, lev_lo, lidx_hi, lev_hi,
 
 
 def _dia_bounds_vals(wb_ref, lev_ref, scr, lo_w, tt_w, lo_t, tt_t,
-                     nlev, z, i, Lp, TN, D, vlimit):
+                     nlev, z, i, Lp, TN, D, rems, vlimit):
     """The full K1 DIA computation as VALUES (ttmax, ttmin) — shared by the
     standalone bounds kernel, the DMA-windowed form and the fused K1+K2
     kernel (kernels_packed.limit_fused_pallas).  ``lo_w``/``tt_w`` are the
     window SLAB VALUES [Lp, W]; ``wb_ref`` row layout: col 0 window block,
-    cols 1..D shift q, cols 1+D..1+2D lane residue rem."""
+    cols 1..D shift q.  ``rems``: STATIC per-offset lane residues (the
+    plan's offsets are global, so residue = offset mod 128 on every
+    128-aligned tile — a static roll measured ~28% faster than the old
+    per-tile dynamic roll: Mosaic lowers dynamic lane rolls expensively)."""
     # a1 on the window (reference src/reference.cpp:306-319), staged through
     # VMEM scratch so each offset is a dynamic-lane-offset LOAD of just
     # [2Lp, TN] (cost ~ slice size), not a roll of the whole slab
@@ -424,24 +427,19 @@ def _dia_bounds_vals(wb_ref, lev_ref, scr, lo_w, tt_w, lo_t, tt_t,
     acc_min = jnp.where(active, jnp.minimum(lo_t, tt_t), _BIG)
     lev_all = lev_ref[0]  # [D, TN]
     for d in range(D):
-        # per-(tile, d) shift s in [0, W), decomposed host-side into a
-        # 128-aligned block offset (Mosaic requires lane-dim dynamic loads
-        # to be 128-aligned) and a lane residue handled by rolling only the
-        # narrow [2Lp, TN+BLOCK] segment — not the whole window slab
+        # per-(tile, d) 128-aligned block offset (Mosaic requires lane-dim
+        # dynamic loads to be 128-aligned); the lane residue is STATIC,
+        # handled by rolling only the narrow [2Lp, TN+BLOCK] segment.
+        # Left-shift expressed as a POSITIVE roll: negative shifts
+        # miscompile silently on real TPUs (round-3 on-chip parity find)
         q = wb_ref[i, 1 + d]
-        rem = wb_ref[i, 1 + D + d]
         seg = scr[:, pl.ds(pl.multiple_of(q * BLOCK, BLOCK), TN + BLOCK)]
-        # left-shift by rem expressed as a POSITIVE roll: Mosaic's dynamic
-        # roll silently miscompiles negative shifts on real TPUs (interpret
-        # mode wraps them, hiding the bug — caught by the on-chip parity
-        # probe); pltpu.roll also rejects negative static shifts.
-        # Explicit int32 constants: under jax_enable_x64 mixed promotion
-        # emits an int64 convert that Mosaic cannot lower (infinite
-        # recursion in its convert helper)
-        sh = jnp.where(rem > 0, jnp.int32(TN + BLOCK) - rem, jnp.int32(0))
-        r = pltpu.roll(seg, sh, axis=1)[:, :TN]
+        rem = rems[d] % BLOCK
+        r = (pltpu.roll(seg, TN + BLOCK - rem, axis=1) if rem else seg)
+        r = r[:, :TN]
         # per-(node, d) level bound of the connecting edge; 0 = no neighbor
-        # at this offset (also masks out-of-window garbage lanes)
+        # at this offset (also masks out-of-window garbage lanes and the
+        # global-plan slots this tile does not use)
         m = z < lev_all[d:d + 1]
         acc_max = jnp.where(m, jnp.maximum(acc_max, r[:Lp]), acc_max)
         acc_min = jnp.where(m, jnp.minimum(acc_min, r[Lp:]), acc_min)
@@ -450,7 +448,7 @@ def _dia_bounds_vals(wb_ref, lev_ref, scr, lo_w, tt_w, lo_t, tt_t,
 
 
 def _bounds_dia_kernel(wb_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref, *refs,
-                       Lp, TN, D, J, vlimit):
+                       Lp, TN, D, rems, J, vlimit):
     LO = refs[:J]
     TT = refs[J:2 * J]
     out_ref = refs[2 * J]
@@ -458,13 +456,14 @@ def _bounds_dia_kernel(wb_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref, *refs,
     z = _row_iota((Lp, TN))
     tmax, tmin = _dia_bounds_vals(
         wb_ref, lev_ref, scr, _concat(LO), _concat(TT), lo_t_ref[:],
-        ttf_t_ref[:], nlev_ref[:], z, pl.program_id(0), Lp, TN, D, vlimit)
+        ttf_t_ref[:], nlev_ref[:], z, pl.program_id(0), Lp, TN, D, rems,
+        vlimit)
     out_ref[:Lp] = tmax
     out_ref[Lp:] = tmin
 
 
 def bounds_dia_pallas(fct_LO_pad, ttf_pad, dia_wb, dia_lev, nlev_nod_row, *,
-                      tile, nblocks, D, vlimit=1):
+                      tile, nblocks, D, rems, vlimit=1):
     """DIA-form K1: fct_LO/ttf [Lp, Np] -> fct_ttf stacked [2Lp, Np].
 
     ``dia_wb`` [T, 1+D]: col 0 = window first block, cols 1.. = per-offset
@@ -489,8 +488,8 @@ def bounds_dia_pallas(fct_LO_pad, ttf_pad, dia_wb, dia_lev, nlev_nod_row, *,
             pltpu.VMEM((2 * Lp, J * BLOCK + tile), jnp.float32),
         ],
     )
-    kernel = functools.partial(_bounds_dia_kernel, Lp=Lp, TN=tile, D=D, J=J,
-                               vlimit=vlimit)
+    kernel = functools.partial(_bounds_dia_kernel, Lp=Lp, TN=tile, D=D,
+                               rems=rems, J=J, vlimit=vlimit)
     return pallas_call(
         kernel,
         name="fct_bounds_dia",
@@ -503,7 +502,7 @@ def bounds_dia_pallas(fct_LO_pad, ttf_pad, dia_wb, dia_lev, nlev_nod_row, *,
 
 def _bounds_dia_dma_kernel(wb_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref,
                            lo_hbm, tt_hbm, out_ref, win, scr, sems, *,
-                           Lp, TN, D, J, vlimit):
+                           Lp, TN, D, rems, J, vlimit):
     W = J * BLOCK
     i = pl.program_id(0)
     T = pl.num_programs(0)
@@ -534,13 +533,13 @@ def _bounds_dia_dma_kernel(wb_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref,
     z = _row_iota((Lp, TN))
     tmax, tmin = _dia_bounds_vals(
         wb_ref, lev_ref, scr, w[:Lp], w[Lp:], lo_t_ref[:], ttf_t_ref[:],
-        nlev_ref[:], z, i, Lp, TN, D, vlimit)
+        nlev_ref[:], z, i, Lp, TN, D, rems, vlimit)
     out_ref[:Lp] = tmax
     out_ref[Lp:] = tmin
 
 
 def bounds_dia_dma_pallas(fct_LO_pad, ttf_pad, dia_wb, dia_lev,
-                          nlev_nod_row, *, tile, nblocks, D, vlimit=1):
+                          nlev_nod_row, *, tile, nblocks, D, rems, vlimit=1):
     """DIA-form K1 with MANUALLY double-buffered window DMA.
 
     The BlockSpec pipeline moves each tile's window as J separate
@@ -575,7 +574,7 @@ def bounds_dia_dma_pallas(fct_LO_pad, ttf_pad, dia_wb, dia_lev,
         ],
     )
     kernel = functools.partial(_bounds_dia_dma_kernel, Lp=Lp, TN=tile, D=D,
-                               J=J, vlimit=vlimit)
+                               rems=rems, J=J, vlimit=vlimit)
     return pallas_call(
         kernel,
         name="fct_bounds_dia_dma",

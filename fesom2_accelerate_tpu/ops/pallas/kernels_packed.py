@@ -545,7 +545,7 @@ def update_packed_pallas(adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad,
 def _limit_fused_kernel(wb1_ref, wb2_ref, dlev_ref, nlevn_ref, lo_t_ref,
                         ttf_t_ref, av_ref, ainv_ref, levh_ref, sclev_ref,
                         lo_hbm, tt_hbm, F_hbm, *refs,
-                        Lp, Lpv, L, TN, D, J1, K, Pk, J2, dt, eps,
+                        Lp, Lpv, L, TN, D, rems, J1, K, Pk, J2, dt, eps,
                         vlimit, iter_yn):
     from fesom2_accelerate_tpu.ops.pallas.kernels import _dia_bounds_vals
 
@@ -589,7 +589,7 @@ def _limit_fused_kernel(wb1_ref, wb2_ref, dlev_ref, nlevn_ref, lo_t_ref,
     w1 = win1[i % 2]
     tmax, tmin = _dia_bounds_vals(
         wb1_ref, dlev_ref, scr_a1, w1[:Lp], w1[Lp:], lo_t_ref[:],
-        ttf_t_ref[:], nlev, z, i, Lp, TN, D, vlimit)
+        ttf_t_ref[:], nlev, z, i, Lp, TN, D, rems, vlimit)
     tt_out_ref[:Lp] = tmax
     tt_out_ref[Lp:] = tmin
 
@@ -603,8 +603,8 @@ def _limit_fused_kernel(wb1_ref, wb2_ref, dlev_ref, nlevn_ref, lo_t_ref,
 
 def limit_fused_pallas(fct_LO_pad, ttf_pad, adf_v_pad, area_inv_pad,
                        F_packed, dia_wb, dia_lev, lev_home, sc_lev, sc_wb,
-                       nlev_nod_row, *, tile, J_un, D, J_sc, K, Pk, L, dt,
-                       flux_eps, vlimit=1, iter_yn=False):
+                       nlev_nod_row, *, tile, J_un, D, rems, J_sc, K, Pk,
+                       L, dt, flux_eps, vlimit=1, iter_yn=False):
     """Fused K1+K2 -> (tt stacked [2Lp, Np], limiter factors [2Lp, Np],
     limited adf_v [Lpv, Np][, adf_v residual — iterative mode only])."""
     Lp, Np = fct_LO_pad.shape
@@ -647,8 +647,8 @@ def limit_fused_pallas(fct_LO_pad, ttf_pad, adf_v_pad, area_inv_pad,
         ],
     )
     kernel = functools.partial(_limit_fused_kernel, Lp=Lp, Lpv=Lpv, L=L,
-                               TN=TN, D=D, J1=J_un, K=K, Pk=Pk, J2=J_sc,
-                               dt=dt, eps=flux_eps, vlimit=vlimit,
+                               TN=TN, D=D, rems=rems, J1=J_un, K=K, Pk=Pk,
+                               J2=J_sc, dt=dt, eps=flux_eps, vlimit=vlimit,
                                iter_yn=iter_yn)
     out_shape = (
         jax.ShapeDtypeStruct((2 * Lp, Np), jnp.float32),

@@ -97,6 +97,18 @@ def _halo_fill_nbr(x, smaps, B, H, n_parts, axis_name="p"):
     return jnp.concatenate([lo, own, hi, tail], axis=-1)
 
 
+def _common_dia(statics):
+    """Unify the DIA bounds static across parts: the GLOBAL offset set is
+    the union (every part masks the slots it does not use); DIA only if
+    every part admits it — shard_map compiles one program."""
+    if any(s.a3f_dia_D == 0 for s in statics):
+        return dict(a3f_dia_D=0, a3f_dia_offs=())
+    union = sorted({int(o) for s in statics for o in s.a3f_dia_offs
+                    if o != 0})  # 0 appears only as pad (never a neighbor)
+    union = union or [0]
+    return dict(a3f_dia_D=len(union), a3f_dia_offs=tuple(union))
+
+
 def _common_packed(statics):
     """Unify the packed-layout static across parts (element-wise max of the
     per-slot pair tuples, padded to the max slot count); packed only if
@@ -283,9 +295,7 @@ class ShardedFctAleSolver:
                 a2_nblocks=max(s.a2_nblocks for s in statics),
                 n_fix_tiles=max(s.n_fix_tiles for s in statics),
                 a3f_un_nblocks=max(s.a3f_un_nblocks for s in statics),
-                # DIA only if every part's offset count fits (one program)
-                a3f_dia_D=(0 if any(s.a3f_dia_D == 0 for s in statics)
-                           else max(s.a3f_dia_D for s in statics)),
+                **_common_dia(statics),
                 **_common_packed(statics),
             )
             pds = [pstep.build_pallas_data(m, common=common, halo_mask=hm,

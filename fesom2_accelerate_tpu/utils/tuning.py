@@ -119,10 +119,12 @@ class _Chain:
 
         ps, cfg = self.ps, self.cfg
         if ps.a3f_dia_D:
+            from fesom2_accelerate_tpu.ops.pallas.step import _dia_rems
+
             return kernels.bounds_dia_dma_pallas(
                 lo, ttf, pd.a3f_dia_wb, pd.a3f_dia_lev, pd.nlev_nod_row,
                 tile=ps.tile, nblocks=ps.a3f_un_nblocks, D=ps.a3f_dia_D,
-                vlimit=cfg.vlimit)
+                rems=_dia_rems(ps), vlimit=cfg.vlimit)
         return kernels.bounds_pallas(
             lo, ttf, pd.a3f_lidx_lo, pd.a3f_lev_lo, pd.a3f_lidx_hi,
             pd.a3f_lev_hi, pd.a3f_wb, pd.nlev_nod_row, tile=ps.tile,

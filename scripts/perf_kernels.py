@@ -64,10 +64,11 @@ def main():
 
     def k1(pd, lo, ttf):
         if ps.a3f_dia_D:
-            return kernels.bounds_dia_pallas(
+            # the PRODUCTION form: double-buffered DMA window + static rolls
+            return kernels.bounds_dia_dma_pallas(
                 lo, ttf, pd.a3f_dia_wb, pd.a3f_dia_lev, pd.nlev_nod_row,
                 tile=ps.tile, nblocks=ps.a3f_un_nblocks, D=ps.a3f_dia_D,
-                vlimit=cfg.vlimit)
+                rems=pstep._dia_rems(ps), vlimit=cfg.vlimit)
         return kernels.bounds_pallas(
             lo, ttf, pd.a3f_lidx_lo, pd.a3f_lev_lo,
             pd.a3f_lidx_hi, pd.a3f_lev_hi, pd.a3f_wb, pd.nlev_nod_row,

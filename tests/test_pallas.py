@@ -106,10 +106,12 @@ def test_bounds_dia_matches_onehot(vlimit):
             nblocks_lo=ps.a3f_lo_nblocks, nblocks_hi=ps.a3f_hi_nblocks,
             K_lo=ps.K_lo, K_hi=ps.K_hi, vlimit=vlimit, chunk=ps.chunk,
         )
+        from fesom2_accelerate_tpu.ops.pallas.step import _dia_rems
+
         dia = kernels.bounds_dia_pallas(
             lo, tt, pd.a3f_dia_wb, pd.a3f_dia_lev, pd.nlev_nod_row,
             tile=ps.tile, nblocks=ps.a3f_un_nblocks, D=ps.a3f_dia_D,
-            vlimit=vlimit,
+            rems=_dia_rems(ps), vlimit=vlimit,
         )
     np.testing.assert_array_equal(
         np.asarray(dia[:, :ps.N]), np.asarray(ref[:, :ps.N])
