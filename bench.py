@@ -24,13 +24,15 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     # default = flagship config: CORE2-scale mesh on the fused Pallas
-    # backend (4-kernel chain, cold compile ~2 s).  steps=100: the tunneled
-    # backend costs ~25 ms of dispatch+sync PER JITTED CALL regardless of
-    # scan length (measured: scan of 20/100/1000 trivial steps all ~25-28 ms
-    # total), so short scans overstate per-step time by dispatch/steps —
-    # 100 steps bounds the bias at ~0.25 ms/step.
+    # backend (4-kernel chain, cold compile ~2 s).  steps=300: the tunneled
+    # backend costs ~50 ms of RPC latency PER TIMED CALL (dispatch + the
+    # device->host sync read; round-4 measurement: 100-step scans report
+    # 2.42 ms/step where 300-step scans report 2.08 and the solved
+    # asymptote is ~1.9 — while pad/unpad measure 0.2 ms each), so short
+    # scans overstate per-step time by ~latency/steps; 300 steps bounds
+    # the bias at ~0.17 ms/step.
     ap.add_argument("--preset", default="core2")
-    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     ap.add_argument("--iter", action="store_true", help="iterative FCT mode")
     ap.add_argument("--backend", default="pallas", choices=["xla", "pallas"])
