@@ -295,6 +295,13 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
             tile = default_tile(mesh.n_nodes)
         chunk = 1024 if chunk is None else chunk
         scatter_chunk = 512 if scatter_chunk is None else scatter_chunk
+    # the static DIA lane residues (rem = offset mod BLOCK, see the K1 plan
+    # below) and the packed-plan window arithmetic both require tile starts
+    # to be BLOCK-aligned — an unaligned tile would compute silently wrong
+    # bounds, so fail loudly here instead
+    assert tile % BLOCK == 0, (
+        f"tile={tile} must be a multiple of {BLOCK} (128-aligned tile "
+        "starts are assumed by the static DIA lane rolls)")
     N, E, Ed, L = mesh.n_nodes, mesh.n_elems, mesh.n_edges, mesh.n_layers
     ones3 = np.ones((E, 3), dtype=bool)
     nd_valid = np.arange(mesh.node_edges.shape[1])[None, :] < (
@@ -653,12 +660,17 @@ def _pack_edge_field(ps: PallasStatic, pd: PallasData, v) -> jax.Array:
 
 
 def _unpack_edge_field(ps: PallasStatic, pd: PallasData, vp) -> jax.Array:
-    """Packed [K*Lp, Np] -> natural edge field [L, Ed]."""
+    """Packed [K*Lp, Np] -> natural edge field [L, Ed].
+
+    Invalid/padded edges (``nlev_edge == 0``, sharded part padding) hold
+    slot 0 / home 0 but never claimed a (slot, home) cell — their lanes
+    are zeroed so they can't surface another edge's flux."""
     K, Lp = ps.pack_K, ps.Lp
     v3 = vp.reshape(K, Lp, ps.Np)
     slot = pd.pk_eslot[:ps.Ed]
     home = pd.starts_col[:ps.Ed, 0]
-    return v3[slot, :, home].T[:ps.L]
+    owner = pd.pk_einv[slot, home] == jnp.arange(ps.Ed, dtype=jnp.int32)
+    return jnp.where(owner[None, :], v3[slot, :, home].T[:ps.L], 0.0)
 
 
 def pad_state(ps: PallasStatic, state: dict,

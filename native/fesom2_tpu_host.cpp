@@ -12,6 +12,11 @@
 // src/fesom2-accelerate.cu:114-127); 0-based connectivity (documented
 // deviation: there is no Fortran host here to inherit 1-based ids from).
 //
+// Thread model: every entry point takes the GIL via PyGILState_Ensure, so
+// f2t_* calls are safe from any host thread and from hosts that initialized
+// Python themselves.  When this shim owns the interpreter it releases the
+// GIL after init (PyEval_SaveThread) so the GILState API works uniformly.
+//
 // Build: make host   (links libpython via python3-config --embed)
 
 #include <Python.h>
@@ -23,13 +28,31 @@ namespace {
 
 PyObject *g_mod = nullptr;  // fesom2_accelerate_tpu.host_embed
 bool g_owns_interp = false;
+PyThreadState *g_saved = nullptr;  // main thread state parked after init
 
-bool ensure_module() {
-  if (g_mod != nullptr) return true;
+// Initialize the interpreter if no host did, then park the GIL so every
+// entry (from any thread) can use PyGILState_Ensure.
+void ensure_interpreter() {
   if (!Py_IsInitialized()) {
     Py_InitializeEx(0);
     g_owns_interp = true;
+    g_saved = PyEval_SaveThread();
   }
+}
+
+// RAII GIL hold for one ABI call.
+class GilGuard {
+ public:
+  GilGuard() : st_(PyGILState_Ensure()) {}
+  ~GilGuard() { PyGILState_Release(st_); }
+
+ private:
+  PyGILState_STATE st_;
+};
+
+// Import the framework module (GIL must be held).
+bool ensure_module_locked() {
+  if (g_mod != nullptr) return true;
   g_mod = PyImport_ImportModule("fesom2_accelerate_tpu.host_embed");
   if (g_mod == nullptr) {
     PyErr_Print();
@@ -39,6 +62,7 @@ bool ensure_module() {
 }
 
 // Call host_embed.<fn>(args...) -> long; returns -1 on Python-level failure.
+// GIL must be held; steals the args reference.
 long call_long(const char *fn, PyObject *args) {
   long out = -1;
   PyObject *f = PyObject_GetAttrString(g_mod, fn);
@@ -64,7 +88,9 @@ extern "C" {
 
 // Initialize the embedded interpreter + import the framework.
 void f2t_init_(int *istat) {
-  *istat = ensure_module() ? 0 : 1;
+  ensure_interpreter();
+  GilGuard gil;
+  *istat = ensure_module_locked() ? 0 : 1;
 }
 
 // One-time mesh transfer + solver build (reference transfer_mesh_ +
@@ -76,7 +102,9 @@ void f2t_setup_(const int *n_elems, const int *nl, const int *elem_nodes,
                 const int *nlev_elem, const int *n_nodes,
                 const double *node_xy, const int *dt_milli, const int *vlimit,
                 const int *iter_yn, const int *backend, int *istat) {
-  if (!ensure_module()) {
+  ensure_interpreter();
+  GilGuard gil;
+  if (!ensure_module_locked()) {
     *istat = 1;
     return;
   }
@@ -91,7 +119,9 @@ void f2t_setup_(const int *n_elems, const int *nl, const int *elem_nodes,
 // Derived sizes the host needs to size its flux buffers.
 void f2t_dims_(int *n_nodes, int *n_edges, int *n_layers, int *istat) {
   *istat = 1;
-  if (!ensure_module()) return;
+  ensure_interpreter();
+  GilGuard gil;
+  if (!ensure_module_locked()) return;
   PyObject *f = PyObject_GetAttrString(g_mod, "dims");
   if (f == nullptr) {
     PyErr_Print();
@@ -116,7 +146,9 @@ void f2t_fct_ale_step_(const double *ttf, double *fct_LO, double *fct_adf_v,
                        double *fct_adf_h, const double *hnode,
                        const double *hnode_new, double *del_v, double *del_h,
                        int *istat) {
-  if (!ensure_module()) {
+  ensure_interpreter();
+  GilGuard gil;
+  if (!ensure_module_locked()) {
     *istat = 1;
     return;
   }
@@ -131,13 +163,19 @@ void f2t_fct_ale_step_(const double *ttf, double *fct_LO, double *fct_adf_v,
 
 void f2t_finalize_(int *istat) {
   *istat = 0;
-  if (g_mod != nullptr) {
-    PyObject *args = PyTuple_New(0);
-    call_long("reset", args);
-    Py_DECREF(g_mod);
-    g_mod = nullptr;
+  if (!Py_IsInitialized()) return;
+  {
+    GilGuard gil;
+    if (g_mod != nullptr) {
+      call_long("reset", PyTuple_New(0));
+      Py_DECREF(g_mod);
+      g_mod = nullptr;
+    }
   }
-  if (g_owns_interp && Py_IsInitialized()) {
+  if (g_owns_interp) {
+    // re-enter the parked main thread state to finalize
+    PyEval_RestoreThread(g_saved);
+    g_saved = nullptr;
     if (Py_FinalizeEx() != 0) *istat = 1;
     g_owns_interp = false;
   }

@@ -96,6 +96,11 @@ def test_two_process_matches_single(backend, n_steps, iter_yn, tmp_path):
             assert len(got.files) >= 2
             for k in got.files:
                 ref = solver.gather_node(state[k])
-                np.testing.assert_array_equal(got[k], ref, err_msg=k)
+                # plain-interpret pallas lowers to the same XLA ops today,
+                # so this is currently bit-identical — but pin only the
+                # f32 tolerance used by the sharded tests so a future
+                # kernel op-order change doesn't flake the suite
+                np.testing.assert_allclose(got[k], ref, rtol=2e-6,
+                                           atol=2e-6, err_msg=k)
     finally:
         kernels.set_interpret(False)

@@ -75,6 +75,28 @@ def test_packed_pad_unpad_roundtrip(small_mesh):
     np.testing.assert_array_equal(np.asarray(back), v)
 
 
+def test_unpack_masks_padded_edges(small_mesh):
+    """Padded part edges (nlev_edge == 0) hold slot 0 / home 0 in the
+    packed layout; _unpack_edge_field must zero their lanes instead of
+    surfacing the slot-0/home-0 edge's flux (which a direct consumer of
+    the local edge field would read as plausible garbage)."""
+    from fesom2_accelerate_tpu.parallel.partition import partition_mesh
+
+    pm = partition_mesh(small_mesh, 4)
+    lm = next((m for m in pm.local_meshes if (m.nlev_edge == 0).any()),
+              None)
+    assert lm is not None, "expected at least one part with padded edges"
+    pd, ps = pstep.build_pallas_data(lm)
+    assert ps.pack_K > 0
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((ps.L, ps.Ed)).astype(np.float32)
+    back = np.asarray(pstep._unpack_edge_field(
+        ps, pd, pstep._pack_edge_field(ps, pd, jnp.asarray(v))))
+    valid = np.asarray(lm.nlev_edge) > 0
+    np.testing.assert_array_equal(back[:, valid], v[:, valid])
+    assert (back[:, ~valid] == 0).all()
+
+
 @pytest.mark.parametrize("iter_yn", [False, True])
 def test_packed_step_matches_onehot(small_mesh, iter_yn):
     """Full packed chain vs the one-hot chain (same f32 inputs): both are
