@@ -21,7 +21,13 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+# prefer the installed package (pip install -e .); fall back to the
+# checkout layout so a clean clone still runs without an install step
+try:  # noqa: SIM105
+    import fesom2_accelerate_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 
 
 def main():

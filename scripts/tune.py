@@ -17,7 +17,13 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+# prefer the installed package (pip install -e .); fall back to the
+# checkout layout so a clean clone still runs without an install step
+try:  # noqa: SIM105
+    import fesom2_accelerate_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 
 
 def main():
