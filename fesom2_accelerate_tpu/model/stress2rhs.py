@@ -56,12 +56,12 @@ class Stress2RhsSolver:
             assert dtype == jnp.float32, "pallas backend is f32-only"
             # packed (home-slot DIA) scatter when the mesh admits it — the
             # one-hot form wastes the MXU on 2-row operands (tuner: ~2 ms
-            # vs ~0.1 ms); one-hot remains the irregular-mesh fallback
-            # round-4 sweep (perf/tune_core2_stress2rhs.json): packed wins
-            # at every tile (2.3x over one-hot); 1024 is the winner (1.01
-            # vs 1.05 ms at 2048), so cap the adaptive default there
+            # vs ~0.1 ms); one-hot remains the irregular-mesh fallback.
+            # round-5 sweep (perf/tune_core2_stress2rhs.json, 300-iter
+            # protocol, hoisted-uv kernel): packed wins at every tile;
+            # 2048 edges 1024 (0.243 vs 0.260 ms on core2)
             pk_tile = (tile if tile is not None
-                       else min(default_tile(mesh.n_nodes), 1024))
+                       else min(default_tile(mesh.n_nodes), 2048))
             Np_pk = _ru(mesh.n_nodes, pk_tile)
             pk = (None if form == "onehot"
                   else build_packed_s2r_plan(mesh, pk_tile, Np_pk))
@@ -140,6 +140,7 @@ class Stress2RhsSolver:
         self._packed = True
         N, E = mesh.n_nodes, mesh.n_elems
         self._pk_static = (tile, pk.J, pk.K, pk.Pk)
+        self._pk_rems = pk.rems
         self._pk_Np = Np
         self._pk_wb = jnp.asarray(pk.wb, jnp.int32)
         self._pk_hc = jnp.asarray(pk.hc, jnp.int32)
@@ -161,6 +162,7 @@ class Stress2RhsSolver:
             return jnp.moveaxis(g, 1, 0).reshape(K * 16, Np)
 
         tile_, J, K_, Pk = self._pk_static
+        rems = self._pk_rems
 
         def call_packed(wb, hc, ind, packed, inv_areamass, rhs_a, rhs_m):
             def pn(x):
@@ -168,7 +170,7 @@ class Stress2RhsSolver:
 
             out = kernels_packed.stress2rhs_packed_pallas(
                 packed, hc, ind, wb, pn(inv_areamass), pn(rhs_a),
-                pn(rhs_m), tile=tile_, J=J, K=K_, Pk=Pk)
+                pn(rhs_m), tile=tile_, J=J, K=K_, Pk=Pk, rems=rems)
             return out[0, :N], out[1, :N]
 
         self._pack_elems = jax.jit(pack_elems)

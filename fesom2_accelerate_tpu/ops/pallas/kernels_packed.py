@@ -694,31 +694,73 @@ def _s2r_corner_uv(el, TN):
 
 
 def _s2r_packed_kernel(wb_ref, hc_ref, ind_ref, iam_ref, ra_ref, rm_ref,
-                       el_hbm, *refs, TN, K, Pk, J):
+                       el_hbm, *refs, TN, K, Pk, J, rems):
     out_ref = refs[0]
-    win, scr, sems = refs[-3], refs[-2], refs[-1]
+    win, uv_scr, sems = refs[-3], refs[-2], refs[-1]
     i = pl.program_id(0)
-    _dma_stage_window(scr, win, el_hbm, wb_ref, i, sems, J)
+    W = J * BLOCK
+    T = pl.num_programs(0)
+
+    # double-buffered wide DMA of the raw element window (the
+    # _dma_stage_window pattern, minus its el mirror copy: only the
+    # derived uv slab below needs the wrap-mirror tail)
+    def dma(slot, idx):
+        c0 = pl.multiple_of(wb_ref[idx, 0] * BLOCK, BLOCK)
+        return pltpu.make_async_copy(el_hbm.at[:, pl.ds(c0, W)],
+                                     win.at[slot], sems.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < T)
+    def _():
+        dma((i + 1) % 2, i + 1).start()
+
+    dma(i % 2, i).wait()
     a0 = i * TN - wb_ref[i, 0] * BLOCK
     P = sum(Pk)
     ind = ind_ref[0]  # [P, TN]
+
+    # stage 1: the 3 per-corner (u, v) contributions, ONCE over the raw
+    # window per slot (uv_scr rows [k*8 + 2c] = u_c, [+1] = v_c).  The
+    # naive form re-evaluated the 36-op corner math inside every home/pair
+    # read (K + P = 12 times per tile) only to select one corner, and
+    # mirror-copied the full 16-row element window; hoisting the math and
+    # mirroring only the 8-row uv slab measured 0.287 -> ~0.2 ms/call on
+    # core2.
+    w = win[i % 2]
+    uv_rows = []
+    for k in range(K):
+        cs = _s2r_corner_uv(w[k * 16:(k + 1) * 16, :], None)
+        uv_rows += [cs[0][0], cs[0][1], cs[1][0], cs[1][1], cs[2][0],
+                    cs[2][1], jnp.zeros((2, W), jnp.float32)]
+    _mirror_into(uv_scr, jnp.concatenate(uv_rows, axis=0), W)
+
     acc_u = jnp.zeros((1, TN), jnp.float32)
     acc_v = jnp.zeros((1, TN), jnp.float32)
 
-    def add(cs, code_row):
+    def add(uv, code_row):
         nonlocal acc_u, acc_v
         for c in range(3):
             sel = code_row == (c + 1)
-            acc_u = acc_u + jnp.where(sel, cs[c][0], 0.0)
-            acc_v = acc_v + jnp.where(sel, cs[c][1], 0.0)
+            acc_u = acc_u + jnp.where(sel, uv[2 * c:2 * c + 1], 0.0)
+            acc_v = acc_v + jnp.where(sel, uv[2 * c + 1:2 * c + 2], 0.0)
 
     p = 0
     for k in range(K):
-        el = _aligned(scr, k * 16, (k + 1) * 16, a0, TN)
-        add(_s2r_corner_uv(el, TN), hc_ref[k:k + 1])
+        add(_aligned(uv_scr, k * 8, (k + 1) * 8, a0, TN), hc_ref[k:k + 1])
         for _ in range(Pk[k]):
-            el = _pair_shift(scr, k * 16, (k + 1) * 16, wb_ref, i, P, p, TN)
-            add(_s2r_corner_uv(el, TN), ind[p:p + 1])
+            # STATIC lane roll: the plan's pair layout is global, so the
+            # residue (-d) mod 128 is compile-time (PackedS2RPlan.rems);
+            # only the 128-block index q stays dynamic
+            q = wb_ref[i, 1 + p]
+            seg = uv_scr[k * 8:(k + 1) * 8,
+                         pl.ds(pl.multiple_of(q * BLOCK, BLOCK), TN + BLOCK)]
+            rem = rems[p] % BLOCK
+            uv = (pltpu.roll(seg, TN + BLOCK - rem, axis=1)
+                  if rem else seg)[:, :TN]
+            add(uv, ind[p:p + 1])
             p += 1
 
     iam = iam_ref[:]
@@ -729,7 +771,7 @@ def _s2r_packed_kernel(wb_ref, hc_ref, ind_ref, iam_ref, ra_ref, rm_ref,
 
 
 def stress2rhs_packed_pallas(elem_packed, hc, ind, wb, inv_areamass_row,
-                             rhs_a_row, rhs_m_row, *, tile, J, K, Pk):
+                             rhs_a_row, rhs_m_row, *, tile, J, K, Pk, rems):
     """elem_packed [K*16, Np] (slot-major; row layout above) -> [8, Np]
     with U = row 0, V = row 1."""
     _, Np = elem_packed.shape
@@ -750,11 +792,12 @@ def stress2rhs_packed_pallas(elem_packed, hc, ind, wb, inv_areamass_row,
         out_specs=_tile_spec((8, TN)),
         scratch_shapes=[
             pltpu.VMEM((2, K * 16, J * BLOCK), jnp.float32),
-            pltpu.VMEM((K * 16, J * BLOCK + tile + BLOCK), jnp.float32),
+            pltpu.VMEM((K * 8, J * BLOCK + tile + BLOCK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_s2r_packed_kernel, TN=TN, K=K, Pk=Pk, J=J)
+    kernel = functools.partial(_s2r_packed_kernel, TN=TN, K=K, Pk=Pk,
+                               J=J, rems=rems)
     return pallas_call(
         kernel,
         name="stress2rhs_packed",

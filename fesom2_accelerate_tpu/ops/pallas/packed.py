@@ -241,8 +241,11 @@ class PackedS2RPlan:
     (1..3 = which corner of the element the target node is; 0 = absent)."""
 
     K: int
-    Pk: tuple  # per-slot pair counts (static)
+    Pk: tuple  # per-slot GLOBAL pair counts (static)
     J: int  # window blocks
+    rems: tuple  # [P] STATIC per-pair lane residues ((-d) mod 128; the
+    # pair layout is global, so every 128-aligned tile shares them — the
+    # K1 global-offset-plan trick enabling static rolls in the kernel)
     einv: np.ndarray  # [K, Np] int32 element id at (slot, home); -1 absent
     eslot: np.ndarray  # [E] int32
     hc: np.ndarray  # [K, Np] int32 home corner code (1..3; 0 absent)
@@ -278,22 +281,23 @@ def build_packed_s2r_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
     else:
         K_own = 1
 
-    # per-(target tile, slot) distinct offsets over the two non-home corners
-    pair_sets = [dict() for _ in range(T)]  # (k, d) -> pair pos (later)
+    # GLOBAL distinct (slot, offset) pairs over the two non-home corners:
+    # every tile addresses pair (k, d) at the same static position, so the
+    # pair's lane residue (-d) mod 128 is a compile-time constant on
+    # 128-aligned tiles — the K1 global-offset-plan trick
+    # (kernels._bounds_dia_vals), enabling static rolls in the kernel.
+    # (Structured meshes have near-identical per-tile pair sets anyway:
+    # core2 has 9 global pairs = the per-tile count.)
     per_corner = []  # (corner_code, target_node, k, d) rows
+    glob = [set() for _ in range(K_own)]
     for c in range(3):
         tgt = en[:, c].astype(np.int64)
-        m = tgt != home
+        m = (tgt != home) & valid
         per_corner.append((c + 1, tgt[m], slot[m], (tgt - home)[m],
                            np.nonzero(m)[0]))
-    for _, tgt, k, d, _e in per_corner:
-        for tt, kk, dd in zip(tgt // tile, k, d):
-            pair_sets[int(tt)].setdefault((int(kk), int(dd)), None)
-    Pk_own = tuple(
-        max((sum(1 for (kk, _dd) in ps if kk == k) for ps in pair_sets),
-            default=0)
-        for k in range(K_own)
-    )
+        for kk, dd in zip(slot[m], (tgt - home)[m]):
+            glob[int(kk)].add(int(dd))
+    Pk_own = tuple(len(s) for s in glob)
     if common_static is not None:
         K, Pk, J = common_static
         assert K_own <= K and all(a <= b for a, b in zip(Pk_own, Pk))
@@ -325,21 +329,23 @@ def build_packed_s2r_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
     base = np.concatenate([[0], np.cumsum(Pk)]).astype(int)
     wbk = np.maximum(0, (t0s + tile) // BLOCK - J)
     wb[:, 0] = wbk
-    pair_pos = [dict() for _ in range(T)]
-    for t in range(T):
-        per_slot = {}
-        for (kk, dd) in pair_sets[t]:
-            per_slot.setdefault(kk, []).append(dd)
-        for kk, ds_ in per_slot.items():
-            for j, dd in enumerate(sorted(ds_)):
-                p = base[kk] + j
-                pair_pos[t][(kk, dd)] = p
-                s = int(t0s[t] - dd - wbk[t] * BLOCK) % (J * BLOCK)
-                wb[t, 1 + p] = s // BLOCK
-                wb[t, 1 + P + p] = s % BLOCK
+    # global pair positions + offsets (slot-major, sorted within slot)
+    pos = {}
+    offs_flat = [0] * max(P, 1)
+    for kk in range(K_own):
+        for j, dd in enumerate(sorted(glob[kk])):
+            pos[(kk, dd)] = base[kk] + j
+            offs_flat[base[kk] + j] = dd
+    # every tile carries every pair's (q, rem): absent pairs are masked by
+    # ind == 0, and their q still addresses valid window columns
+    for (kk, dd), p in pos.items():
+        s = (t0s - dd - wbk.astype(np.int64) * BLOCK) % (J * BLOCK)
+        wb[:, 1 + p] = s // BLOCK
+        wb[:, 1 + P + p] = s % BLOCK
     for code, tgt, k, d, _e in per_corner:
         for tt, kk, dd, j in zip(tgt // tile, k, d, tgt - (tgt // tile) * tile):
-            ind[int(tt), pair_pos[int(tt)][(int(kk), int(dd))], int(j)] = code
+            ind[int(tt), pos[(int(kk), int(dd))], int(j)] = code
 
-    return PackedS2RPlan(K=K, Pk=tuple(Pk), J=J, einv=einv,
+    rems = tuple(int((-dd) % BLOCK) for dd in offs_flat[:P])
+    return PackedS2RPlan(K=K, Pk=tuple(Pk), J=J, rems=rems, einv=einv,
                          eslot=slot, hc=hc, wb=wb, ind=ind)

@@ -170,6 +170,25 @@ def fct_ale_step_bytes_physical(ps, iter_yn: bool = False) -> "int | None":
     return b
 
 
+def stress2rhs_bytes_physical(tile: int, J: int, K: int, P: int,
+                              Np: int) -> int:
+    """PHYSICAL HBM traffic of one packed stress2rhs call
+    (kernels_packed.stress2rhs_packed_pallas): the [K*16, J*128] element
+    window each tile DMA-stages (incl. the 5 zero pad rows per slot and
+    the window-overlap factor), the per-pair indicator / home-corner int32
+    tiles, node-row inputs, and the [8, Np] output (6 pad rows included).
+    The honest numerator against :func:`measure_stream_bandwidth` — the
+    modeled :func:`stress2rhs_bytes` counts the reference-style algorithmic
+    minimum instead."""
+    f = 4
+    T = Np // tile
+    b = f * T * K * 16 * J * 128     # staged element windows
+    b += 4 * (P * Np + K * Np)       # pair indicators + home-corner codes
+    b += f * 3 * Np                  # inv_areamass, rhs_a, rhs_m rows
+    b += f * 8 * Np                  # U/V output (padded to 8 sublanes)
+    return b
+
+
 def measure_stream_bandwidth(n_bytes: int = 2 ** 29, iters: int = 20,
                              reps: int = 3) -> float:
     """Measured streaming bandwidth of THIS device (bytes/s): a

@@ -405,7 +405,7 @@ def tune_step(mesh, tiles=(256, 512, 1024, 2048, 4096), steps=10, rtol=1e-4,
     return results
 
 
-def tune_stress2rhs(mesh, tiles=(128, 256, 512, 1024, 2048), iters=30,
+def tune_stress2rhs(mesh, tiles=(128, 256, 512, 1024, 2048), iters=300,
                     rtol=1e-5, forms=("packed", "onehot")):
     """Sweep the stress2rhs scatter over (form, tile) vs the XLA backend
     (the f64-vs-oracle gate lives in the CPU test suite; on-device the XLA
@@ -414,7 +414,11 @@ def tune_stress2rhs(mesh, tiles=(128, 256, 512, 1024, 2048), iters=30,
     Timing is SCAN-CHAINED (the carry feeds the next call) — ``iters``
     un-chained dispatches with one trailing sync measure dispatch
     pipelining, not device time (the round-2 bench.py lesson; this sweep
-    regressed it in round 3, VERDICT weak #4)."""
+    regressed it in round 3, VERDICT weak #4).  ``iters`` defaults to 300:
+    the tunneled backend adds ~25-50 ms RPC latency per TIMED CALL, so a
+    30-iteration scan overstates a ~0.3 ms kernel by ~1 ms/call — the
+    round-4 '1.01 ms' stress2rhs figure was exactly this artifact
+    (BASELINE.md round-5 note)."""
     import jax
     import jax.numpy as jnp
 

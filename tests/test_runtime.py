@@ -63,8 +63,10 @@ def test_tune_step_validates_against_oracle():
     from fesom2_accelerate_tpu.utils import tuning
 
     mesh = generate_planar_mesh(preset="tiny")
+    # tiles must be 128-aligned: the static DIA lane rolls assume it, and
+    # build_pallas_data now rejects unaligned tiles loudly (advisor r4)
     with pltpu.force_tpu_interpret_mode():
-        results = tuning.tune_step(mesh, tiles=(64,), steps=2)
+        results = tuning.tune_step(mesh, tiles=(128,), steps=2)
     assert all(r.ok for r in results)
     assert tuning.best(results) is not None
 
