@@ -533,6 +533,201 @@ def update_packed_pallas(adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad,
 
 
 # --------------------------------------------------------------------------
+# Fused K3+K4: b3-horizontal limiting computed directly on K4's F scatter
+# window (the window already spans K3's gather span), then the stage-c
+# scatter consumes the limited values from VMEM.  Removes K3's separate
+# pass: its aligned F read (~100 MB/step on core2) and its own pm window —
+# the limited F is written once, as K4's extra tile output.  The price is
+# recomputing ae over the window width instead of the tile (~1.2x VPU) —
+# measured A/B in BASELINE.md.  Requires the GLOBAL gather-pair layout
+# (packed.py: static positions + static lane residues + the windowed
+# gl_int lev/indicator slab); not used on the sharded path, whose
+# interior/fixup split needs the separate K3 to overlap the exchange.
+# --------------------------------------------------------------------------
+
+
+def _update_fused_kernel(scwb_ref, pmwb_ref, avl_ref, ttf_ref, hn_ref,
+                         hnn_ref, lo_ref, dvin_ref, dhin_ref, ainv_ref,
+                         nlevn_ref, levh_ref, sclev_ref, F_hbm, pm_hbm,
+                         gl_hbm, *refs,
+                         Lp, Lpv, L, TN, K, Pk_s, Pk_g, J, J_pm, g_offs,
+                         dt, iter_yn):
+    o1_ref, o2_ref, limF_ref = refs[0], refs[1], refs[2]
+    resid_ref = refs[3] if iter_yn else None
+    winF, win_pm, win_gl, scr_limF, scr_pm, sems = refs[-6:]
+    i = pl.program_id(0)
+    T = pl.num_programs(0)
+    W2 = J * BLOCK
+    P_g = sum(Pk_g)
+
+    def dmas(slot, idx):
+        c1 = pl.multiple_of(scwb_ref[idx, 0] * BLOCK, BLOCK)
+        c2 = pl.multiple_of(pmwb_ref[idx, 0] * BLOCK, BLOCK)
+        return [
+            pltpu.make_async_copy(F_hbm.at[:, pl.ds(c1, W2)],
+                                  winF.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(pm_hbm.at[:, pl.ds(c2, J_pm * BLOCK)],
+                                  win_pm.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(gl_hbm.at[:, pl.ds(c1, W2)],
+                                  win_gl.at[slot], sems.at[slot, 2]),
+        ]
+
+    @pl.when(i == 0)
+    def _():
+        for c in dmas(0, 0):
+            c.start()
+
+    @pl.when(i + 1 < T)
+    def _():
+        for c in dmas((i + 1) % 2, i + 1):
+            c.start()
+
+    for c in dmas(i % 2, i):
+        c.wait()
+
+    _mirror_into(scr_pm, win_pm[i % 2], J_pm * BLOCK)
+    gl = win_gl[i % 2]
+    Fw = winF[i % 2]
+    # b3h limiting over the WHOLE window (K3's math on window width;
+    # kernels/fct_ale_b3_horizontal.cu:28-39)
+    delta = scwb_ref[i, 0] - pmwb_ref[i, 0]
+    home = scr_pm[:, pl.ds(pl.multiple_of(delta * BLOCK, BLOCK), W2)]
+    p1, m1 = home[:Lp], home[Lp:]
+    zW = _row_iota((Lp, W2))
+    lim_rows = []
+    p = 0
+    for k in range(K):
+        oth = jnp.zeros((2 * Lp, W2), jnp.float32)
+        for _ in range(Pk_g[k]):
+            q = pmwb_ref[i, 1 + p]
+            seg = scr_pm[:, pl.ds(pl.multiple_of(q * BLOCK, BLOCK),
+                                  W2 + BLOCK)]
+            rem = g_offs[p] % BLOCK
+            r = (pltpu.roll(seg, W2 + BLOCK - rem, axis=1)
+                 if rem else seg)[:, :W2]
+            oth = jnp.where(gl[K + p:K + p + 1] > 0, oth + r, oth)
+            p += 1
+        p2, m2 = oth[:Lp], oth[Lp:]
+        F = Fw[k * Lp:(k + 1) * Lp]
+        ae_pos = jnp.minimum(1.0, jnp.minimum(p1, m2))
+        ae_neg = jnp.minimum(1.0, jnp.minimum(m1, p2))
+        ae = jnp.where(F >= 0.0, ae_pos, ae_neg)
+        emask = zW < gl[k:k + 1]
+        lim_rows.append(jnp.where(emask, ae * F, F))
+    _mirror_into(scr_limF, jnp.concatenate(lim_rows, axis=0), W2)
+
+    a0 = i * TN - scwb_ref[i, 0] * BLOCK
+    a0s = pl.multiple_of(a0, BLOCK)
+    limF_tile = scr_limF[:, pl.ds(a0s, TN)]
+    limF_ref[:] = limF_tile
+    if iter_yn:
+        # residual (1-ae)*F == F - limF on edges, 0 elsewhere (limF == F)
+        resid_ref[:] = winF[i % 2, :, pl.ds(a0s, TN)] - limF_tile
+
+    # K4 stage-c on the limited window values (straight from VMEM)
+    z = _row_iota((Lp, TN))
+    acc = _scatter_packed(scr_limF, scwb_ref, levh_ref, sclev_ref, i, a0, z,
+                          TN, Lp, K, Pk_s, split_pm=False)
+
+    av_out = avl_ref[:]
+    av_lim = av_out[:Lp]
+    if Lpv >= Lp + 1:
+        dn_lim = av_out[1:Lp + 1]
+    else:
+        dn_lim = jnp.concatenate(
+            [av_out[1:Lpv], jnp.zeros((Lp + 1 - Lpv, TN), jnp.float32)],
+            axis=0,
+        )
+    ainv = ainv_ref[:]
+    ddiv = (av_lim - dn_lim) * dt * ainv
+    dh = acc * dt * ainv
+    nlev = nlevn_ref[:]
+    active = z < (nlev - 1)
+    lo = lo_ref[:]
+    if iter_yn:
+        hnn = hnn_ref[:]
+        new_lo = jnp.where(active, lo + ddiv / hnn, lo) + dh / hnn
+        o1_ref[:] = new_lo
+        o2_ref[:] = jnp.zeros((Lp, TN), jnp.float32)
+    else:
+        dv = -ttf_ref[:] * hn_ref[:] + lo * hnn_ref[:] + ddiv
+        o1_ref[:] = jnp.where(active, dvin_ref[:] + dv, dvin_ref[:])
+        o2_ref[:] = dhin_ref[:] + dh
+
+
+def update_fused_pallas(adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad,
+                        fct_LO_pad, del_v_pad, del_h_pad, area_inv_pad,
+                        pm_stacked, F_packed, gl_int, lev_home, sc_lev,
+                        sc_wb, pm_wb, nlev_nod_row, *, tile, J, J_pm, K,
+                        Pk_s, Pk_g, g_offs, L, dt, iter_yn):
+    """Fused K3+K4 -> (o1, o2, limited F [, residual — iterative mode])."""
+    Lpv, Np = adf_v_lim_pad.shape
+    Lp = area_inv_pad.shape[0]
+    TN = tile
+    T = Np // TN
+    P_s, P_g = sum(Pk_s), sum(Pk_g)
+
+    def tspec(shape):  # index maps take (i, sc_wb, pm_wb)
+        return pl.BlockSpec(shape, lambda i, w1, w2: (0, i))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # sc_wb, pm_wb
+        grid=(T,),
+        in_specs=[
+            tspec((Lpv, TN)),
+            tspec((Lp, TN)),
+            tspec((Lp, TN)),
+            tspec((Lp, TN)),
+            tspec((Lp, TN)),
+            tspec((Lp, TN)),
+            tspec((Lp, TN)),
+            tspec((Lp, TN)),
+            tspec((1, TN)),
+            tspec((K, TN)),
+            pl.BlockSpec((1, max(P_s, 1), TN), lambda i, w1, w2: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            (tspec((Lp, TN)), tspec((Lp, TN)),
+             tspec((K * Lp, TN)), tspec((K * Lp, TN)))
+            if iter_yn else
+            (tspec((Lp, TN)), tspec((Lp, TN)), tspec((K * Lp, TN)))
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, K * Lp, J * BLOCK), jnp.float32),
+            pltpu.VMEM((2, 2 * Lp, J_pm * BLOCK), jnp.float32),
+            pltpu.VMEM((2, gl_int.shape[0], J * BLOCK), jnp.int32),
+            pltpu.VMEM((K * Lp, J * BLOCK + tile + BLOCK), jnp.float32),
+            pltpu.VMEM((2 * Lp, J_pm * BLOCK + tile + BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    kernel = functools.partial(_update_fused_kernel, Lp=Lp, Lpv=Lpv, L=L,
+                               TN=TN, K=K, Pk_s=Pk_s, Pk_g=Pk_g, J=J,
+                               J_pm=J_pm, g_offs=g_offs, dt=dt,
+                               iter_yn=iter_yn)
+    out_shape = (
+        jax.ShapeDtypeStruct((Lp, Np), jnp.float32),
+        jax.ShapeDtypeStruct((Lp, Np), jnp.float32),
+        jax.ShapeDtypeStruct((K * Lp, Np), jnp.float32),
+    )
+    if iter_yn:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((K * Lp, Np), jnp.float32),)
+    return pallas_call(
+        kernel,
+        name="fct_update_fused_k34",
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        out_shape=out_shape,
+    )(sc_wb, pm_wb, adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad,
+      fct_LO_pad, del_v_pad, del_h_pad, area_inv_pad, nlev_nod_row,
+      lev_home, sc_lev, F_packed, pm_stacked, gl_int)
+
+
+# --------------------------------------------------------------------------
 # Fused K1+K2: the bounds (a1+a2+a3, DIA form) feed b1/b2/b3v directly on
 # the same node tile — K2 consumes the bounds ONLY on its own tile, so the
 # fusion is recompute-free and removes the [2Lp, Np] tt round-trip through

@@ -57,6 +57,18 @@ class PackedPlan:
     g_wb: np.ndarray  # [T, 1 + 2*P_g] int32
     g_ind: np.ndarray  # [T, P_g, tile] int32 0/1 pair-selection indicator
 
+    # ---- fused K3+K4 extras (kernels_packed.update_fused_pallas) ---------
+    # gather pairs are GLOBALLY positioned (per-slot sorted offsets), so
+    # their lane residues (d mod 128) are compile-time constants and the
+    # limiter indicators can live as one global slab windowed per tile
+    g_offs: tuple  # [P_g] global gather offsets d (slot-major, sorted)
+    maxd: int  # max offset over valid edges (fused gate: maxd < tile)
+    J_pm: int  # pm window blocks for the fused kernel
+    pm_wb: np.ndarray  # [T, 1 + P_g] int32: pm win_block, q_p = delta+d//128
+    gl_int: np.ndarray  # [K + P_g, Np] int32: lev_home rows then global
+    # 0/1 pair indicators at home columns (one DMA window serves both)
+    fused_ok: bool  # pm window fits the padded source
+
 
 def _slot_assign(edges: np.ndarray, n_nodes: int,
                  valid: "np.ndarray | None" = None):
@@ -126,12 +138,23 @@ def build_packed_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
 
     ht = edges[:, 0] // tile  # home tile (gather pairs keyed here)
     ot = edges[:, 1] // tile  # other-endpoint tile (scatter pairs keyed here)
-    g_pairs, Pk_g_own = _pair_sets(ht[evalid], slot[evalid], d[evalid], T,
-                                   K_own)
+    # gather pairs are GLOBAL (union over tiles, per-slot sorted): every
+    # tile addresses pair (k, d) at the same position, so the residue
+    # d mod 128 is a compile-time constant on 128-aligned tiles — enables
+    # static rolls and the windowed global indicator of the fused K3+K4
+    # kernel (the K1 global-offset-plan trick).  Structured meshes have
+    # near-identical per-tile pair sets, so the global count matches the
+    # per-tile max (core2: 8 = 8); meshes where it does not fall back to
+    # one-hot through the same pack_pmax gate.
+    g_glob = [set() for _ in range(K_own)]
+    for kk, dv in zip(slot[evalid], d[evalid]):
+        g_glob[int(kk)].add(int(dv))
+    Pk_g_own = tuple(len(s) for s in g_glob)
     s_pairs, Pk_s_own = _pair_sets(ot[evalid], slot[evalid], d[evalid], T,
                                    K_own)
     P_g_own = sum(Pk_g_own)
     P_s_own = sum(Pk_s_own)
+    maxd = int(d[evalid].max()) if evalid.any() else 0
 
     if common_static is not None:
         K, Pk_s, Pk_g, J_sc, J_g = common_static
@@ -191,9 +214,9 @@ def build_packed_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
     sc_wb[:, 0] = sc_wbk
     g_wb[:, 0] = g_wbk
 
-    # pair slot index per tile: maps (t, k, d) -> static pair position
+    # scatter pair positions stay per-tile (sc_lev is keyed at the
+    # receiving tile anyway); gather positions are GLOBAL (see above)
     pair_pos_s = [dict() for _ in range(T)]
-    pair_pos_g = [dict() for _ in range(T)]
     for t in range(T):
         for k in range(K_own):
             for j, dv in enumerate(sorted(s_pairs[t][k])):
@@ -204,13 +227,22 @@ def build_packed_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
                 s = int(t0s[t] - dv - sc_wbk[t] * BLOCK) % (J_sc * BLOCK)
                 sc_wb[t, 1 + p] = s // BLOCK
                 sc_wb[t, 1 + P_s + p] = s % BLOCK
-            for j, dv in enumerate(sorted(g_pairs[t][k])):
-                p = base_g[k] + j
-                pair_pos_g[t][(k, dv)] = p
-                s = int(t0s[t] + dv - g_wbk[t] * BLOCK)
-                assert 0 <= s < J_g * BLOCK
-                g_wb[t, 1 + p] = s // BLOCK
-                g_wb[t, 1 + P_g + p] = s % BLOCK
+    pos_g = {}
+    g_offs = [0] * max(P_g, 1)
+    for k in range(K_own):
+        for j, dv in enumerate(sorted(g_glob[k])):
+            p = base_g[k] + j
+            pos_g[(k, dv)] = p
+            g_offs[p] = dv
+    for (k, dv), p in pos_g.items():
+        s = t0s + dv - g_wbk.astype(np.int64) * BLOCK
+        # (tile, pair) combinations with no edge in that tile may fall
+        # outside the window; clamp — their indicator rows are zero, so
+        # the (mirror-wrapped) read is masked.  Pairs present in a tile
+        # are in-window by the J_g sizing.
+        s = np.clip(s, 0, J_g * BLOCK - 1)
+        g_wb[:, 1 + p] = s // BLOCK
+        g_wb[:, 1 + P_g + p] = s % BLOCK
 
     # per-(pair, node) tensors: scatter level bounds keyed at the RECEIVING
     # (n1) node; gather indicators keyed at the HOME (n0) node
@@ -220,12 +252,39 @@ def build_packed_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
         sc_lev[t, pair_pos_s[t][(k, dv)],
                int(edges[e, 1] - t0s[t])] = mesh.nlev_edge[e]
         t = int(ht[e])
-        g_ind[t, pair_pos_g[t][(k, dv)], int(edges[e, 0] - t0s[t])] = 1
+        g_ind[t, pos_g[(k, dv)], int(edges[e, 0] - t0s[t])] = 1
+
+    # ---- fused K3+K4 products (kernels_packed.update_fused_pallas) -------
+    # limF is computed over the K4 scatter window, so the pm factors must
+    # cover [window, window_end + maxd] (every edge homed in the window
+    # reaches its n1 endpoint); J_pm adds headroom for the top-of-mesh
+    # clamp (window start shifts down by delta blocks, pair q = delta +
+    # d // 128, lane residue d mod 128 static).
+    J_pm = J_sc + maxd // BLOCK + 2
+    fused_ok = bool(P_g > 0 and maxd < tile
+                    and J_pm * BLOCK + tile + BLOCK <= Np + tile + BLOCK
+                    and J_pm * BLOCK <= Np)
+    pm_wb = np.zeros((T, 1 + max(P_g, 1)), dtype=np.int32)
+    # rows padded to a multiple of 8: Mosaic requires DMA slice row counts
+    # aligned to the (8, 128) tiling
+    Rg = -(-(K + max(P_g, 1)) // 8) * 8
+    gl_int = np.zeros((Rg, Np), dtype=np.int32)
+    gl_int[:K] = lev_home
+    if fused_ok:
+        pm_wbk = np.maximum(np.minimum(sc_wbk, Np // BLOCK - J_pm), 0)
+        pm_wb[:, 0] = pm_wbk
+        delta = (sc_wbk - pm_wbk).astype(np.int64)
+        for (k, dv), p in pos_g.items():
+            pm_wb[:, 1 + p] = delta + dv // BLOCK
+            m = evalid & (slot == k) & (d == dv)
+            gl_int[K + p, edges[m, 0]] = 1
 
     return PackedPlan(
         K=K, Pk_s=tuple(Pk_s), Pk_g=tuple(Pk_g), J_sc=J_sc, J_g=J_g,
         lev_home=lev_home, einv=einv, eslot=slot,
         sc_wb=sc_wb, sc_lev=sc_lev, g_wb=g_wb, g_ind=g_ind,
+        g_offs=tuple(g_offs[:P_g]), maxd=maxd, J_pm=J_pm, pm_wb=pm_wb,
+        gl_int=gl_int, fused_ok=fused_ok,
     )
 
 

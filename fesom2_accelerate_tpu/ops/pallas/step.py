@@ -153,6 +153,10 @@ class PallasData:
     pk_sc_lev: jax.Array  # [T_n, P_s, tile] int32
     pk_g_wb: jax.Array  # [T_n, 1 + 2*P_g] int32
     pk_g_ind: jax.Array  # [T_n, P_g, tile] int32
+    # fused K3+K4 (PallasStatic.fuse_k34): pm window blocks + windowed
+    # lev/indicator slab (packed.py PackedPlan.pm_wb / gl_int)
+    pk_pm_wb: jax.Array  # [T_n, 1 + P_g] int32
+    pk_gl_int: jax.Array  # [K + P_g, Np] int32
 
 
 @jax.tree_util.register_dataclass
@@ -219,6 +223,14 @@ class PallasStatic:
     pack_Pk_g: tuple = ()
     pack_J_sc: int = 0
     pack_J_g: int = 0
+    # fused K3+K4 (kernels_packed.update_fused_pallas): b3h limiting
+    # computed on K4's scatter window, removing K3's separate pass.  Needs
+    # the global gather-pair layout; static per-pair offsets below drive
+    # the kernel's static lane rolls.  Not used when an exchange callback
+    # is present (the sharded interior/fixup split needs the separate K3)
+    pack_J_pm: int = 0
+    pack_g_offs: tuple = ()
+    fuse_k34: bool = False
     # run K1+K2 as one fused kernel (needs DIA + packed).  Off by default:
     # fusing removes the tt HBM round-trip (~100 MB/step) but the merged
     # kernel's 30+ window inputs degrade Mosaic's input pipelining — on the
@@ -265,6 +277,7 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
                       dia_max: int = 40,
                       pack_pmax: int = 16,
                       fuse_k12: bool = False,
+                      fuse_k34: bool = True,
                       halo_mask: "np.ndarray | None" = None,
                       xp=jnp):
     """Returns (PallasData, PallasStatic).
@@ -563,9 +576,14 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
             pk_sc_lev=pk.sc_lev,
             pk_g_wb=pk.g_wb,
             pk_g_ind=pk.g_ind,
+            pk_pm_wb=pk.pm_wb,
+            pk_gl_int=pk.gl_int,
         )
         pk_static = dict(pack_K=pk.K, pack_Pk_s=pk.Pk_s, pack_Pk_g=pk.Pk_g,
-                         pack_J_sc=pk.J_sc, pack_J_g=pk.J_g)
+                         pack_J_sc=pk.J_sc, pack_J_g=pk.J_g,
+                         pack_J_pm=pk.J_pm, pack_g_offs=pk.g_offs,
+                         fuse_k34=(common.fuse_k34 if common is not None
+                                   else (fuse_k34 and pk.fused_ok)))
     else:
         pk_arrays = dict(
             pk_lev_home=np.zeros((1, Np), np.int32),
@@ -575,9 +593,12 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
             pk_sc_lev=np.zeros((T_n, 1, tile), np.int32),
             pk_g_wb=np.zeros((T_n, 1), np.int32),
             pk_g_ind=np.zeros((T_n, 1, tile), np.int32),
+            pk_pm_wb=np.zeros((T_n, 1), np.int32),
+            pk_gl_int=np.zeros((1, Np), np.int32),
         )
         pk_static = dict(pack_K=0, pack_Pk_s=(), pack_Pk_g=(),
-                         pack_J_sc=0, pack_J_g=0)
+                         pack_J_sc=0, pack_J_g=0, pack_J_pm=0,
+                         pack_g_offs=(), fuse_k34=False)
 
     i32 = functools.partial(xp.asarray, dtype=jnp.int32)
     data = PallasData(
@@ -792,6 +813,43 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
 
     overlap = exchange is not None and ps.n_fix_tiles > 0
     pm_x = exchange(pm) if exchange is not None else pm
+
+    if ps.pack_K and ps.fuse_k34 and exchange is None:
+        # Fused K3+K4: the b3h limiting runs on K4's F scatter window and
+        # stage c consumes the limited values from VMEM — K3's separate
+        # pass (aligned F read + pm window + limited-F write/re-read)
+        # disappears.  Only for exchange-free programs: the sharded path
+        # needs the separate K3 to overlap the collective.
+        fused = kernels_packed.update_fused_pallas(
+            av_out, ttf, state["hnode"], state["hnode_new"], fct_LO,
+            state["del_ttf_advvert"], state["del_ttf_advhoriz"],
+            pd.area_inv_pad, pm_x, adf_h_pad, pd.pk_gl_int,
+            pd.pk_lev_home, pd.pk_sc_lev, pd.pk_sc_wb, pd.pk_pm_wb,
+            pd.nlev_nod_row, tile=ps.tile, J=ps.pack_J_sc,
+            J_pm=ps.pack_J_pm, K=ps.pack_K, Pk_s=ps.pack_Pk_s,
+            Pk_g=ps.pack_Pk_g, g_offs=ps.pack_g_offs, L=L, dt=dt,
+            iter_yn=cfg.iter_yn,
+        )
+        o1, o2, adf_h_lim_pad = fused[0], fused[1], fused[2]
+        adf_h_resid_pad = fused[3] if cfg.iter_yn else None
+
+        out = dict(state)
+        out.update(
+            fct_ttf_max=tt[:Lp], fct_ttf_min=tt[Lp:],
+            fct_plus=pm_x[:Lp], fct_minus=pm_x[Lp:],
+        )
+        if cfg.iter_yn:
+            out.update(
+                fct_LO=o1, fct_adf_v=av2, fct_adf_h=adf_h_resid_pad,
+                fct_adf_v_limited=av_out,
+                fct_adf_h_limited=adf_h_lim_pad,
+            )
+        else:
+            out.update(
+                fct_adf_v=av_out, fct_adf_h=adf_h_lim_pad,
+                del_ttf_advvert=o1, del_ttf_advhoriz=o2,
+            )
+        return out
 
     # K3: b3 horizontal (endpoint gathers).  With a boundary plan it
     # consumes the PRE-exchange factors — interior edges see only owned

@@ -115,7 +115,8 @@ def _common_packed(statics):
     EVERY part admits it — shard_map compiles one program."""
     if any(s.pack_K == 0 for s in statics):
         return dict(pack_K=0, pack_Pk_s=(), pack_Pk_g=(),
-                    pack_J_sc=0, pack_J_g=0)
+                    pack_J_sc=0, pack_J_g=0, pack_J_pm=0,
+                    pack_g_offs=(), fuse_k34=False)
     K = max(s.pack_K for s in statics)
 
     def merge(key):
@@ -129,6 +130,11 @@ def _common_packed(statics):
         pack_K=K, pack_Pk_s=merge("pack_Pk_s"), pack_Pk_g=merge("pack_Pk_g"),
         pack_J_sc=max(s.pack_J_sc for s in statics),
         pack_J_g=max(s.pack_J_g for s in statics),
+        # fused K3+K4 stays OFF on the sharded path: the exchange/compute
+        # overlap needs the separate K3 (interior sweep + fixup), and the
+        # fused kernel's static per-pair offsets differ across parts
+        pack_J_pm=max(s.pack_J_pm for s in statics),
+        pack_g_offs=(), fuse_k34=False,
     )
 
 

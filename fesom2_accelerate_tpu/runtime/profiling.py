@@ -158,6 +158,20 @@ def fct_ale_step_bytes_physical(ps, iter_yn: bool = False) -> "int | None":
         b += f * (2 * Lp * Np + Lpv * Np)
         if iter_yn:
             b += f * Lpv * Np  # adf_v residual output
+    if getattr(ps, "fuse_k34", False):
+        # fused K3+K4 (update_fused_pallas): one pass — F window + pm
+        # window + int (lev/indicator) window + K4's node tiles; writes
+        # o1 + o2 + limited F (+resid).  K3's separate aligned F read,
+        # its own pm window and its limited-F write/re-read disappear.
+        W_pm = ps.pack_J_pm * 128
+        Rg = -(-(K + max(P_g, 1)) // 8) * 8
+        b += f * (Lpv * Np + 7 * Lp * Np + K * Lp * T * W_sc)
+        b += f * 2 * Lp * T * W_pm
+        b += 4 * (Rg * T * W_sc + Np + K * Np + P_s * Np)
+        b += f * (2 * Lp * Np + K * Lp * Np)
+        if iter_yn:
+            b += f * K * Lp * Np
+        return b
     # K3 b3h: F tile + pm window; writes limited F (+resid)
     b += f * (K * Lp * Np + 2 * Lp * T * W_g) + 4 * (K * Np + P_g * Np)
     b += f * K * Lp * Np

@@ -187,13 +187,37 @@ def main():
         out, _ = jax.lax.scan(body, s, None, length=args.iters)
         return out
 
+    def k34(pd, s, av, pm):
+        return kernels_packed.update_fused_pallas(
+            av, s["ttf"], s["hnode"], s["hnode_new"], s["fct_LO"],
+            s["del_ttf_advvert"], s["del_ttf_advhoriz"], pd.area_inv_pad,
+            pm, s["fct_adf_h"], pd.pk_gl_int, pd.pk_lev_home, pd.pk_sc_lev,
+            pd.pk_sc_wb, pd.pk_pm_wb, pd.nlev_nod_row, tile=ps.tile,
+            J=ps.pack_J_sc, J_pm=ps.pack_J_pm, K=ps.pack_K,
+            Pk_s=ps.pack_Pk_s, Pk_g=ps.pack_Pk_g, g_offs=ps.pack_g_offs,
+            L=L, dt=dt, iter_yn=cfg.iter_yn)
+
+    def scan_k34(pd, s):
+        def body(av, _):
+            o1, o2, _limF = k34(pd, s, av, pm0)[:3]
+            return av + eps * jnp.concatenate(
+                [o1, o2])[:av0.shape[0]], None
+        out, _ = jax.lax.scan(body, av0, None, length=args.iters)
+        return out
+
     form = "packed" if packed else "onehot"
     k1form = "dia" if ps.a3f_dia_D else "onehot"
     total = 0.0
     total += bench(f"K1_bounds[{k1form}]", scan_k1)
     total += bench(f"K2_limit[{form}]", scan_k2)
-    total += bench(f"K3_b3h[{form}]", scan_k3)
-    total += bench(f"K4_update[{form}]", scan_k4)
+    if ps.fuse_k34:
+        # the production path: K3's b3h limiting fused onto K4's window
+        total += bench("K34_fused[packed]", scan_k34)
+        bench(f"K3_b3h[{form}]", scan_k3)  # split forms for comparison
+        bench(f"K4_update[{form}]", scan_k4)
+    else:
+        total += bench(f"K3_b3h[{form}]", scan_k3)
+        total += bench(f"K4_update[{form}]", scan_k4)
     whole_ms = bench("whole_step", scan_whole)
     summary = {
         "sum_kernels_ms": round(total, 4),

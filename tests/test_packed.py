@@ -145,6 +145,35 @@ def test_cylinder_falls_back_to_onehot():
 
 
 @pytest.mark.parametrize("iter_yn", [False, True])
+def test_fused_k34_matches_split(small_mesh, iter_yn):
+    """The fused K3+K4 kernel (kernels_packed.update_fused_pallas — the
+    default exchange-free production path since round 5) is bit-identical
+    to the split K3 -> K4 chain it replaces."""
+    mesh = small_mesh
+    fields = random_fields(mesh, seed=17, dtype=np.float32)
+    s = {k: jnp.asarray(v, jnp.float32) for k, v in fields.items()}
+    cfg = FctAleConfig(dt=0.7, iter_yn=iter_yn, dtype=jnp.float32,
+                       flux_eps=1e-7)
+    pd_f, ps_f = pstep.build_pallas_data(mesh)
+    pd_s, ps_s = pstep.build_pallas_data(mesh, fuse_k34=False)
+    assert ps_f.fuse_k34, "preset must admit the fused K3+K4 form"
+    assert not ps_s.fuse_k34
+    with pltpu.force_tpu_interpret_mode():
+        out_f = pstep.fct_ale_step_pallas(pd_f, ps_f, cfg, s)
+        out_s = pstep.fct_ale_step_pallas(pd_s, ps_s, cfg, s)
+    for k in out_s:
+        if iter_yn and k == "fct_adf_h":
+            # the h residual: split computes (1-ae)*F, fused computes
+            # F - ae*F — equal up to one f32 rounding
+            np.testing.assert_allclose(
+                np.asarray(out_f[k]), np.asarray(out_s[k]), rtol=1e-5,
+                atol=5e-7, err_msg=k)
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(out_f[k]), np.asarray(out_s[k]), err_msg=k)
+
+
+@pytest.mark.parametrize("iter_yn", [False, True])
 def test_fused_k12_matches_oracle(small_mesh, iter_yn):
     """The opt-in fused K1+K2 kernel (kernels_packed.limit_fused_pallas;
     off by default — see PallasStatic.fuse_k12) matches the oracle."""
