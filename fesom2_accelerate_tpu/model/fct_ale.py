@@ -218,3 +218,68 @@ class FctAleSolver:
 
             self._scan_cache[n_steps] = scan_steps
         return self._scan_cache[n_steps](self._mesh_arg, state)
+
+    # ---- multi-tracer batching (pallas backend) --------------------------
+    # The host model advects many tracers per timestep over one mesh; the
+    # reference runs one full library call per tracer (reference
+    # include/fesom2-accelerate.h:213-236).  Here Tb tracers run through a
+    # single compiled chain on a (tiles, tracers) grid: connectivity/int
+    # maps and per-pass overheads amortize by Tb (ops/pallas/step.py).
+
+    def init_state_tracers(self, fields: dict) -> dict:
+        """Upload multi-tracer state to the device ONCE (per-tracer fields
+        [Tb, L, N] family, ``hnode``/``hnode_new`` shared [L, N]) — like
+        :meth:`init_state`, so repeated step/run calls do not re-transfer
+        host arrays through the (slow) tunnel."""
+        return {k: jnp.asarray(v, dtype=self.cfg.dtype)
+                for k, v in fields.items()}
+
+    def step_tracers(self, state: dict) -> dict:
+        """One step on multi-tracer state: per-tracer fields [Tb, L, N]
+        family, ``hnode``/``hnode_new`` shared [L, N].  Natural shapes in
+        and out."""
+        assert self.backend == "pallas", "tracer batching is pallas-only"
+        from fesom2_accelerate_tpu.ops.pallas import step as pstep
+
+        Tb = state["ttf"].shape[0]
+        if not hasattr(self, "_trc_step_cache"):
+            self._trc_step_cache = {}
+        if Tb not in self._trc_step_cache:
+            ps, c = self.ps, self.cfg
+
+            def stepf(pd, s):
+                return pstep.fct_ale_step_pallas_batched(pd, ps, c, s)
+
+            self._trc_step_cache[Tb] = jax.jit(stepf)
+        return self._trc_step_cache[Tb](
+            self.pd, {k: jnp.asarray(v, self.cfg.dtype)
+                      for k, v in state.items()})
+
+    def run_tracers(self, state: dict, n_steps: int) -> dict:
+        """n_steps of the batched step under lax.scan (padded carry)."""
+        assert self.backend == "pallas", "tracer batching is pallas-only"
+        from fesom2_accelerate_tpu.ops.pallas import step as pstep
+
+        Tb = state["ttf"].shape[0]
+        if not hasattr(self, "_trc_run_cache"):
+            self._trc_run_cache = {}
+        key = (Tb, n_steps)
+        if key not in self._trc_run_cache:
+            ps, c = self.ps, self.cfg
+
+            @jax.jit
+            def scan_steps(pd, s):
+                s = pstep.pad_state_batched(ps, s, pd)
+
+                def body(carry, _):
+                    new = pstep.fct_ale_step_pallas_padded_batched(
+                        pd, ps, c, carry, Tb)
+                    return {k: new[k] for k in carry}, None
+
+                s, _ = jax.lax.scan(body, s, None, length=n_steps)
+                return pstep.unpad_state_batched(ps, s, Tb, pd)
+
+            self._trc_run_cache[key] = scan_steps
+        return self._trc_run_cache[key](
+            self.pd, {k: jnp.asarray(v, self.cfg.dtype)
+                      for k, v in state.items()})

@@ -502,34 +502,38 @@ def bounds_dia_pallas(fct_LO_pad, ttf_pad, dia_wb, dia_lev, nlev_nod_row, *,
 
 def _bounds_dia_dma_kernel(wb_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref,
                            lo_hbm, tt_hbm, out_ref, win, scr, sems, *,
-                           Lp, TN, D, rems, J, vlimit):
+                           Lp, TN, D, rems, J, vlimit, Tb):
     W = J * BLOCK
     i = pl.program_id(0)
+    t = pl.program_id(1) if Tb > 1 else 0
     T = pl.num_programs(0)
+    n = i * Tb + t  # linear (tile, tracer) step
 
-    def dma(slot, idx):
-        c0 = pl.multiple_of(wb_ref[idx, 0] * BLOCK, BLOCK)
+    def dma(slot, i_idx, t_idx):
+        c0 = pl.multiple_of(wb_ref[i_idx, 0] * BLOCK, BLOCK)
+        r0 = t_idx * Lp
         return [
-            pltpu.make_async_copy(lo_hbm.at[:, pl.ds(c0, W)],
+            pltpu.make_async_copy(lo_hbm.at[pl.ds(r0, Lp), pl.ds(c0, W)],
                                   win.at[slot, :Lp], sems.at[slot, 0]),
-            pltpu.make_async_copy(tt_hbm.at[:, pl.ds(c0, W)],
+            pltpu.make_async_copy(tt_hbm.at[pl.ds(r0, Lp), pl.ds(c0, W)],
                                   win.at[slot, Lp:], sems.at[slot, 1]),
         ]
 
-    @pl.when(i == 0)
+    @pl.when(n == 0)
     def _():
-        for d in dma(0, 0):
+        for d in dma(0, 0, 0):
             d.start()
 
-    @pl.when(i + 1 < T)
+    @pl.when(n + 1 < T * Tb)
     def _():
-        for d in dma((i + 1) % 2, i + 1):
+        n1 = n + 1
+        for d in dma((n1) % 2, n1 // Tb, n1 % Tb):
             d.start()
 
-    for d in dma(i % 2, i):
+    for d in dma(n % 2, i, t):
         d.wait()
 
-    w = win[i % 2]
+    w = win[n % 2]
     z = _row_iota((Lp, TN))
     tmax, tmin = _dia_bounds_vals(
         wb_ref, lev_ref, scr, w[:Lp], w[Lp:], lo_t_ref[:], ttf_t_ref[:],
@@ -539,7 +543,8 @@ def _bounds_dia_dma_kernel(wb_ref, lev_ref, nlev_ref, lo_t_ref, ttf_t_ref,
 
 
 def bounds_dia_dma_pallas(fct_LO_pad, ttf_pad, dia_wb, dia_lev,
-                          nlev_nod_row, *, tile, nblocks, D, rems, vlimit=1):
+                          nlev_nod_row, *, tile, nblocks, D, rems, vlimit=1,
+                          Tb=1):
     """DIA-form K1 with MANUALLY double-buffered window DMA.
 
     The BlockSpec pipeline moves each tile's window as J separate
@@ -548,8 +553,17 @@ def bounds_dia_dma_pallas(fct_LO_pad, ttf_pad, dia_wb, dia_lev,
     [Lp, W] async copy per array per tile with a 2-slot double buffer
     reaches ~235 GB/s on the same pattern.  Sources stay in HBM
     (pl.ANY) and the kernel owns the prefetch (guide: Async DMA /
-    Double Buffering)."""
-    Lp, Np = fct_LO_pad.shape
+    Double Buffering).
+
+    ``Tb`` > 1: MULTI-TRACER batch.  Per-tracer fields are stacked along
+    rows ([Tb*Lp, Np]); the grid becomes (tiles, tracers) with tracer
+    minor, so the per-tile int maps (dia_lev, wb, nlev) keep the same
+    block index across tracer steps and the pipeline re-uses them in
+    VMEM — the connectivity traffic and per-pass overheads amortize
+    across the batch (reference: one full call per tracer,
+    include/fesom2-accelerate.h:213-236)."""
+    Lp_all, Np = fct_LO_pad.shape
+    Lp = Lp_all // Tb
     T = Np // tile
     J = nblocks
     W = J * BLOCK
@@ -557,16 +571,16 @@ def bounds_dia_dma_pallas(fct_LO_pad, ttf_pad, dia_wb, dia_lev,
     assert W <= Np, "window wider than the padded source"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(T, Tb),
         in_specs=[
-            pl.BlockSpec((1, D, tile), lambda i, wb: (i, 0, 0)),
-            _tile_spec((1, tile)),
-            _tile_spec((Lp, tile)),
-            _tile_spec((Lp, tile)),
+            pl.BlockSpec((1, D, tile), lambda i, t, wb: (i, 0, 0)),
+            pl.BlockSpec((1, tile), lambda i, t, wb: (0, i)),
+            pl.BlockSpec((Lp, tile), lambda i, t, wb: (t, i)),
+            pl.BlockSpec((Lp, tile), lambda i, t, wb: (t, i)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=_tile_spec((2 * Lp, tile)),
+        out_specs=pl.BlockSpec((2 * Lp, tile), lambda i, t, wb: (t, i)),
         scratch_shapes=[
             pltpu.VMEM((2, 2 * Lp, W), jnp.float32),
             pltpu.VMEM((2 * Lp, W + tile), jnp.float32),
@@ -574,13 +588,13 @@ def bounds_dia_dma_pallas(fct_LO_pad, ttf_pad, dia_wb, dia_lev,
         ],
     )
     kernel = functools.partial(_bounds_dia_dma_kernel, Lp=Lp, TN=tile, D=D,
-                               rems=rems, J=J, vlimit=vlimit)
+                               rems=rems, J=J, vlimit=vlimit, Tb=Tb)
     return pallas_call(
         kernel,
         name="fct_bounds_dia_dma",
         grid_spec=grid_spec,
         compiler_params=_COMPILER_PARAMS,
-        out_shape=jax.ShapeDtypeStruct((2 * Lp, Np), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Tb * 2 * Lp, Np), jnp.float32),
     )(dia_wb, dia_lev, nlev_nod_row, fct_LO_pad, ttf_pad, fct_LO_pad,
       ttf_pad)
 

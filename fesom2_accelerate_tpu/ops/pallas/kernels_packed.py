@@ -60,31 +60,39 @@ def _mirror_into(scr, w, W):
     scr[:, W:] = wrap
 
 
-def _dma_stage_window(scr, win, hbm, wb_ref, i, sems, J):
+def _dma_stage_window(scr, win, hbm, wb_ref, i, sems, J, *, t=0, Tb=1):
     """Stage this tile's [rows, W] window via MANUALLY double-buffered wide
     DMA (kernels.bounds_dia_dma_pallas pattern: the BlockSpec pipeline
     moves the window as J separate 128-lane block transfers, which is
     latency-bound; one wide async copy per tile with a 2-slot double
     buffer measured ~1.7x faster on the same pattern).  The source stays
-    in HBM (pl.ANY); the wrap-mirror columns are filled VMEM->VMEM."""
+    in HBM (pl.ANY); the wrap-mirror columns are filled VMEM->VMEM.
+
+    ``Tb`` > 1: multi-tracer grid (tiles, tracers) with tracer minor —
+    the source holds Tb row-stacked tracer slabs and step (i, t) stages
+    tracer t's window of tile i."""
     W = J * BLOCK
     T = pl.num_programs(0)
+    R = win.shape[1]  # rows per tracer slab
 
-    def dma(slot, idx):
-        c0 = pl.multiple_of(wb_ref[idx, 0] * BLOCK, BLOCK)
-        return pltpu.make_async_copy(hbm.at[:, pl.ds(c0, W)],
-                                     win.at[slot], sems.at[slot])
+    def dma(slot, i_idx, t_idx):
+        c0 = pl.multiple_of(wb_ref[i_idx, 0] * BLOCK, BLOCK)
+        src = (hbm.at[:, pl.ds(c0, W)] if Tb == 1
+               else hbm.at[pl.ds(t_idx * R, R), pl.ds(c0, W)])
+        return pltpu.make_async_copy(src, win.at[slot], sems.at[slot])
 
-    @pl.when(i == 0)
+    n = i * Tb + t
+
+    @pl.when(n == 0)
     def _():
-        dma(0, 0).start()
+        dma(0, 0, 0).start()
 
-    @pl.when(i + 1 < T)
+    @pl.when(n + 1 < T * Tb)
     def _():
-        dma((i + 1) % 2, i + 1).start()
+        dma((n + 1) % 2, (n + 1) // Tb, (n + 1) % Tb).start()
 
-    dma(i % 2, i).wait()
-    _mirror_into(scr, win[i % 2], W)
+    dma(n % 2, i, t).wait()
+    _mirror_into(scr, win[n % 2], W)
 
 
 def _aligned(scr, rows_lo, rows_hi, a0, TN):
@@ -203,12 +211,13 @@ def _limit_body(scr, wb_ref, levh_ref, sclev_ref, av, tmax, tmin, ainv,
 
 def _limit_packed_kernel(wb_ref, av_ref, tt_ref, ainv_ref, nlevn_ref,
                          levh_ref, sclev_ref, F_hbm, *refs,
-                         Lp, Lpv, L, TN, K, Pk, J, dt, eps, iter_yn):
+                         Lp, Lpv, L, TN, K, Pk, J, dt, eps, iter_yn, Tb):
     out_ref, av_out_ref = refs[0], refs[1]
     av2_ref = refs[2] if iter_yn else None
     win, scr, sems = refs[-3], refs[-2], refs[-1]
     i = pl.program_id(0)
-    _dma_stage_window(scr, win, F_hbm, wb_ref, i, sems, J)
+    t = pl.program_id(1) if Tb > 1 else 0
+    _dma_stage_window(scr, win, F_hbm, wb_ref, i, sems, J, t=t, Tb=Tb)
     a0 = i * TN - wb_ref[i, 0] * BLOCK
     z = _row_iota((Lp, TN))
     tt = tt_ref[:]
@@ -220,31 +229,42 @@ def _limit_packed_kernel(wb_ref, av_ref, tt_ref, ainv_ref, nlevn_ref,
 
 def limit_packed_pallas(adf_v_pad, tt_stacked, area_inv_pad, F_packed,
                         lev_home, sc_lev, sc_wb, nlev_nod_row, *, tile, J,
-                        K, Pk, L, dt, flux_eps, iter_yn=False):
+                        K, Pk, L, dt, flux_eps, iter_yn=False, Tb=1):
     """Packed K2 -> (limiter factors [2Lp, Np], limited adf_v [Lpv, Np],
-    adf_v residual [Lpv, Np] — iterative mode only, else omitted)."""
-    Lp2, Np = tt_stacked.shape
+    adf_v residual [Lpv, Np] — iterative mode only, else omitted).
+
+    ``Tb`` > 1: multi-tracer batch — per-tracer operands/outputs are
+    row-stacked, grid (tiles, tracers) with tracer minor so the int maps
+    (lev_home, sc_lev, wb) stay VMEM-resident across tracer steps."""
+    Lp2_all, Np = tt_stacked.shape
+    Lp2 = Lp2_all // Tb
     Lp = Lp2 // 2
-    Lpv = adf_v_pad.shape[0]
+    Lpv = adf_v_pad.shape[0] // Tb
     TN = tile
     T = Np // TN
     P = sum(Pk)
+
+    def pertr(rows):
+        return pl.BlockSpec((rows, TN), lambda i, t, wb: (t, i))
+
+    def shared(rows):
+        return pl.BlockSpec((rows, TN), lambda i, t, wb: (0, i))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(T, Tb),
         in_specs=[
-            _tile_spec((Lpv, TN)),
-            _tile_spec((Lp2, TN)),
-            _tile_spec((Lp, TN)),
-            _tile_spec((1, TN)),
-            _tile_spec((K, TN)),
-            pl.BlockSpec((1, max(P, 1), TN), lambda i, wb: (i, 0, 0)),
+            pertr(Lpv),
+            pertr(Lp2),
+            shared(Lp),
+            shared(1),
+            shared(K),
+            pl.BlockSpec((1, max(P, 1), TN), lambda i, t, wb: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            (_tile_spec((Lp2, TN)), _tile_spec((Lpv, TN)),
-             _tile_spec((Lpv, TN))) if iter_yn else
-            (_tile_spec((Lp2, TN)), _tile_spec((Lpv, TN)))
+            (pertr(Lp2), pertr(Lpv), pertr(Lpv)) if iter_yn else
+            (pertr(Lp2), pertr(Lpv))
         ),
         scratch_shapes=[
             pltpu.VMEM((2, K * Lp, J * BLOCK), jnp.float32),
@@ -254,14 +274,14 @@ def limit_packed_pallas(adf_v_pad, tt_stacked, area_inv_pad, F_packed,
     )
     kernel = functools.partial(_limit_packed_kernel, Lp=Lp, Lpv=Lpv, L=L,
                                TN=TN, K=K, Pk=Pk, J=J, dt=dt, eps=flux_eps,
-                               iter_yn=iter_yn)
+                               iter_yn=iter_yn, Tb=Tb)
     out_shape = (
-        jax.ShapeDtypeStruct((Lp2, Np), jnp.float32),
-        jax.ShapeDtypeStruct((Lpv, Np), jnp.float32),
+        jax.ShapeDtypeStruct((Tb * Lp2, Np), jnp.float32),
+        jax.ShapeDtypeStruct((Tb * Lpv, Np), jnp.float32),
     )
     if iter_yn:
         out_shape = out_shape + (
-            jax.ShapeDtypeStruct((Lpv, Np), jnp.float32),)
+            jax.ShapeDtypeStruct((Tb * Lpv, Np), jnp.float32),)
     return pallas_call(
         kernel,
         name="fct_limit_packed",
@@ -551,43 +571,62 @@ def _update_fused_kernel(scwb_ref, pmwb_ref, avl_ref, ttf_ref, hn_ref,
                          nlevn_ref, levh_ref, sclev_ref, F_hbm, pm_hbm,
                          gl_hbm, *refs,
                          Lp, Lpv, L, TN, K, Pk_s, Pk_g, J, J_pm, g_offs,
-                         dt, iter_yn):
+                         dt, iter_yn, Tb):
     o1_ref, o2_ref, limF_ref = refs[0], refs[1], refs[2]
     resid_ref = refs[3] if iter_yn else None
     winF, win_pm, win_gl, scr_limF, scr_pm, sems = refs[-6:]
     i = pl.program_id(0)
+    t = pl.program_id(1) if Tb > 1 else 0
+    n = i * Tb + t
     T = pl.num_programs(0)
     W2 = J * BLOCK
     P_g = sum(Pk_g)
 
-    def dmas(slot, idx):
-        c1 = pl.multiple_of(scwb_ref[idx, 0] * BLOCK, BLOCK)
-        c2 = pl.multiple_of(pmwb_ref[idx, 0] * BLOCK, BLOCK)
+    def dmas(slot, i_idx, t_idx):
+        c1 = pl.multiple_of(scwb_ref[i_idx, 0] * BLOCK, BLOCK)
+        c2 = pl.multiple_of(pmwb_ref[i_idx, 0] * BLOCK, BLOCK)
+        srcF = (F_hbm.at[:, pl.ds(c1, W2)] if Tb == 1 else
+                F_hbm.at[pl.ds(t_idx * K * Lp, K * Lp), pl.ds(c1, W2)])
+        srcP = (pm_hbm.at[:, pl.ds(c2, J_pm * BLOCK)] if Tb == 1 else
+                pm_hbm.at[pl.ds(t_idx * 2 * Lp, 2 * Lp),
+                          pl.ds(c2, J_pm * BLOCK)])
         return [
-            pltpu.make_async_copy(F_hbm.at[:, pl.ds(c1, W2)],
-                                  winF.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(pm_hbm.at[:, pl.ds(c2, J_pm * BLOCK)],
-                                  win_pm.at[slot], sems.at[slot, 1]),
-            pltpu.make_async_copy(gl_hbm.at[:, pl.ds(c1, W2)],
-                                  win_gl.at[slot], sems.at[slot, 2]),
+            pltpu.make_async_copy(srcF, winF.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(srcP, win_pm.at[slot], sems.at[slot, 1]),
         ]
 
-    @pl.when(i == 0)
+    # the lev/indicator window is SHARED across tracers: fetched per TILE
+    # (double-buffered on i), waited once at t == 0
+    def dma_gl(slot, i_idx):
+        c1 = pl.multiple_of(scwb_ref[i_idx, 0] * BLOCK, BLOCK)
+        return pltpu.make_async_copy(gl_hbm.at[:, pl.ds(c1, W2)],
+                                     win_gl.at[slot], sems.at[slot, 2])
+
+    @pl.when(n == 0)
     def _():
-        for c in dmas(0, 0):
+        for c in dmas(0, 0, 0):
+            c.start()
+        dma_gl(0, 0).start()
+
+    @pl.when(n + 1 < T * Tb)
+    def _():
+        for c in dmas((n + 1) % 2, (n + 1) // Tb, (n + 1) % Tb):
             c.start()
 
-    @pl.when(i + 1 < T)
+    @pl.when((t == Tb - 1) & (i + 1 < T))
     def _():
-        for c in dmas((i + 1) % 2, i + 1):
-            c.start()
+        dma_gl((i + 1) % 2, i + 1).start()
 
-    for c in dmas(i % 2, i):
+    for c in dmas(n % 2, i, t):
         c.wait()
 
-    _mirror_into(scr_pm, win_pm[i % 2], J_pm * BLOCK)
+    @pl.when(t == 0)
+    def _():
+        dma_gl(i % 2, i).wait()
+
+    _mirror_into(scr_pm, win_pm[n % 2], J_pm * BLOCK)
     gl = win_gl[i % 2]
-    Fw = winF[i % 2]
+    Fw = winF[n % 2]
     # b3h limiting over the WHOLE window (K3's math on window width;
     # kernels/fct_ale_b3_horizontal.cu:28-39)
     delta = scwb_ref[i, 0] - pmwb_ref[i, 0]
@@ -622,7 +661,7 @@ def _update_fused_kernel(scwb_ref, pmwb_ref, avl_ref, ttf_ref, hn_ref,
     limF_ref[:] = limF_tile
     if iter_yn:
         # residual (1-ae)*F == F - limF on edges, 0 elsewhere (limF == F)
-        resid_ref[:] = winF[i % 2, :, pl.ds(a0s, TN)] - limF_tile
+        resid_ref[:] = winF[n % 2, :, pl.ds(a0s, TN)] - limF_tile
 
     # K4 stage-c on the limited window values (straight from VMEM)
     z = _row_iota((Lp, TN))
@@ -659,41 +698,51 @@ def update_fused_pallas(adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad,
                         fct_LO_pad, del_v_pad, del_h_pad, area_inv_pad,
                         pm_stacked, F_packed, gl_int, lev_home, sc_lev,
                         sc_wb, pm_wb, nlev_nod_row, *, tile, J, J_pm, K,
-                        Pk_s, Pk_g, g_offs, L, dt, iter_yn):
-    """Fused K3+K4 -> (o1, o2, limited F [, residual — iterative mode])."""
-    Lpv, Np = adf_v_lim_pad.shape
+                        Pk_s, Pk_g, g_offs, L, dt, iter_yn, Tb=1):
+    """Fused K3+K4 -> (o1, o2, limited F [, residual — iterative mode]).
+
+    ``Tb`` > 1: multi-tracer batch.  Per-tracer operands (adf_v_lim, ttf,
+    fct_LO, del_v/h, pm, F) are row-stacked; hnode/hnode_new/area_inv and
+    every int map are shared.  Grid (tiles, tracers), tracer minor: the
+    int tiles keep their block index across tracer steps (VMEM-resident)
+    and the gl window is DMA'd once per tile."""
+    Lpv = adf_v_lim_pad.shape[0] // Tb
+    Np = adf_v_lim_pad.shape[1]
     Lp = area_inv_pad.shape[0]
     TN = tile
     T = Np // TN
     P_s, P_g = sum(Pk_s), sum(Pk_g)
 
-    def tspec(shape):  # index maps take (i, sc_wb, pm_wb)
-        return pl.BlockSpec(shape, lambda i, w1, w2: (0, i))
+    def pertr(rows):  # index maps take (i, t, sc_wb, pm_wb)
+        return pl.BlockSpec((rows, TN), lambda i, t, w1, w2: (t, i))
+
+    def shared(rows):
+        return pl.BlockSpec((rows, TN), lambda i, t, w1, w2: (0, i))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # sc_wb, pm_wb
-        grid=(T,),
+        grid=(T, Tb),
         in_specs=[
-            tspec((Lpv, TN)),
-            tspec((Lp, TN)),
-            tspec((Lp, TN)),
-            tspec((Lp, TN)),
-            tspec((Lp, TN)),
-            tspec((Lp, TN)),
-            tspec((Lp, TN)),
-            tspec((Lp, TN)),
-            tspec((1, TN)),
-            tspec((K, TN)),
-            pl.BlockSpec((1, max(P_s, 1), TN), lambda i, w1, w2: (i, 0, 0)),
+            pertr(Lpv),
+            pertr(Lp),
+            shared(Lp),
+            shared(Lp),
+            pertr(Lp),
+            pertr(Lp),
+            pertr(Lp),
+            shared(Lp),
+            shared(1),
+            shared(K),
+            pl.BlockSpec((1, max(P_s, 1), TN),
+                         lambda i, t, w1, w2: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            (tspec((Lp, TN)), tspec((Lp, TN)),
-             tspec((K * Lp, TN)), tspec((K * Lp, TN)))
+            (pertr(Lp), pertr(Lp), pertr(K * Lp), pertr(K * Lp))
             if iter_yn else
-            (tspec((Lp, TN)), tspec((Lp, TN)), tspec((K * Lp, TN)))
+            (pertr(Lp), pertr(Lp), pertr(K * Lp))
         ),
         scratch_shapes=[
             pltpu.VMEM((2, K * Lp, J * BLOCK), jnp.float32),
@@ -707,15 +756,15 @@ def update_fused_pallas(adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad,
     kernel = functools.partial(_update_fused_kernel, Lp=Lp, Lpv=Lpv, L=L,
                                TN=TN, K=K, Pk_s=Pk_s, Pk_g=Pk_g, J=J,
                                J_pm=J_pm, g_offs=g_offs, dt=dt,
-                               iter_yn=iter_yn)
+                               iter_yn=iter_yn, Tb=Tb)
     out_shape = (
-        jax.ShapeDtypeStruct((Lp, Np), jnp.float32),
-        jax.ShapeDtypeStruct((Lp, Np), jnp.float32),
-        jax.ShapeDtypeStruct((K * Lp, Np), jnp.float32),
+        jax.ShapeDtypeStruct((Tb * Lp, Np), jnp.float32),
+        jax.ShapeDtypeStruct((Tb * Lp, Np), jnp.float32),
+        jax.ShapeDtypeStruct((Tb * K * Lp, Np), jnp.float32),
     )
     if iter_yn:
         out_shape = out_shape + (
-            jax.ShapeDtypeStruct((K * Lp, Np), jnp.float32),)
+            jax.ShapeDtypeStruct((Tb * K * Lp, Np), jnp.float32),)
     return pallas_call(
         kernel,
         name="fct_update_fused_k34",

@@ -942,3 +942,176 @@ def fct_ale_step_pallas(pd: PallasData, ps: PallasStatic, cfg: FctAleConfig,
         ps, fct_ale_step_pallas_padded(pd, ps, cfg, pad_state(ps, state, pd)),
         pd,
     )
+
+
+# --------------------------------------------------------------------------
+# multi-tracer batching
+# --------------------------------------------------------------------------
+# The host model advects MANY tracers per timestep over ONE mesh; the
+# reference is a full library call per tracer (``ttf`` per call, reference
+# include/fesom2-accelerate.h:213-236).  Here Tb tracers run through ONE
+# compiled chain: per-tracer fields are row-stacked ([Tb*rows, Np]) and the
+# kernels take a (tiles, tracers) grid with tracer MINOR, so connectivity /
+# int-map tiles keep their block index across tracer steps (the pipeline
+# re-uses them in VMEM) and per-pass fixed costs amortize by Tb.  Geometry
+# (hnode, hnode_new) is shared.
+
+_BATCH_SHARED = frozenset({"hnode", "hnode_new"})
+
+
+def _pack_edge_field_batched(ps: PallasStatic, pd: PallasData, v):
+    """[Tb, L, Ed] -> packed row-stacked [Tb*K*Lp, Np].  One flat column
+    take over [Tb*Lp, Ed+1] — vmapping the single-tracer gather instead
+    lowers to a batched gather XLA:TPU executes ~100x slower (measured
+    60-100 ms/call on core2)."""
+    K, Lp = ps.pack_K, ps.Lp
+    Tb, L = v.shape[0], v.shape[1]
+    vp = jnp.pad(v, ((0, 0), (0, Lp - L), (0, 1)))  # sentinel col Ed
+    idx = jnp.where(pd.pk_einv >= 0, pd.pk_einv, ps.Ed).reshape(-1)
+    g = jnp.take(vp.reshape(Tb * Lp, ps.Ed + 1), idx, axis=1)
+    return g.reshape(Tb, Lp, K, ps.Np).transpose(0, 2, 1, 3).reshape(
+        Tb * K * Lp, ps.Np)
+
+
+def _unpack_edge_field_batched(ps: PallasStatic, pd: PallasData, vp,
+                               Tb: int):
+    """Packed row-stacked [Tb*K*Lp, Np] -> [Tb, L, Ed] (invalid-edge lanes
+    zeroed, see _unpack_edge_field)."""
+    K, Lp = ps.pack_K, ps.Lp
+    v2 = vp.reshape(Tb, K, Lp, ps.Np).transpose(0, 2, 1, 3).reshape(
+        Tb * Lp, K * ps.Np)
+    slot = pd.pk_eslot[:ps.Ed]
+    home = pd.starts_col[:ps.Ed, 0]
+    out = jnp.take(v2, slot * ps.Np + home, axis=1).reshape(
+        Tb, Lp, ps.Ed)[:, :ps.L]
+    owner = pd.pk_einv[slot, home] == jnp.arange(ps.Ed, dtype=jnp.int32)
+    return jnp.where(owner[None, None, :], out, 0.0)
+
+
+def pad_state_batched(ps: PallasStatic, state: dict,
+                      pd: "PallasData | None" = None) -> dict:
+    """Batched state -> padded row-stacked kernel layout.
+
+    Per-tracer fields have a leading tracer axis ([Tb, L, N] family);
+    ``hnode``/``hnode_new`` are per-mesh ([L, N], shared by all tracers)."""
+    out = {}
+    for k, v in state.items():
+        if k in _BATCH_SHARED:
+            out[k] = pad_state(ps, {k: v}, pd)[k]
+            continue
+        Tb, L = v.shape[0], v.shape[1]
+        if k in _EDGE_FIELDS:
+            if ps.pack_K:
+                out[k] = _pack_edge_field_batched(ps, pd, v)
+            else:
+                out[k] = jnp.pad(
+                    v, ((0, 0), (0, ps.Lp - L), (0, ps.Edp - ps.Ed))
+                ).reshape(Tb * ps.Lp, ps.Edp)
+        else:
+            rows = ps.Lpv if k in _IFACE_FIELDS else ps.Lp
+            out[k] = jnp.pad(
+                v, ((0, 0), (0, rows - L), (0, ps.Np - ps.N))
+            ).reshape(Tb * rows, ps.Np)
+    return out
+
+
+def unpad_state_batched(ps: PallasStatic, pstate: dict, Tb: int,
+                        pd: "PallasData | None" = None) -> dict:
+    """Padded row-stacked layout -> natural shapes with tracer axis."""
+    out = {}
+    for k, v in pstate.items():
+        if k in _BATCH_SHARED:
+            out[k] = unpad_state(ps, {k: v}, pd)[k]
+            continue
+        rows = v.shape[0] // Tb
+        if k in _EDGE_FIELDS:
+            if ps.pack_K:
+                out[k] = _unpack_edge_field_batched(ps, pd, v, Tb)
+            else:
+                out[k] = v.reshape(Tb, rows, v.shape[-1])[:, :ps.L, :ps.Ed]
+        else:
+            take = ps.L + 1 if k in _IFACE_FIELDS else ps.L
+            out[k] = v.reshape(Tb, rows, v.shape[-1])[:, :take, :ps.N]
+    return out
+
+
+def fct_ale_step_pallas_padded_batched(pd: PallasData, ps: PallasStatic,
+                                       cfg: FctAleConfig, state: dict,
+                                       Tb: int) -> dict:
+    """One step on PADDED row-stacked multi-tracer state (scan-carry form).
+
+    Requires the fused production forms (packed + DIA + fuse_k34) — the
+    batched grids exist only for those kernels; exchange-free (single
+    device)."""
+    assert ps.pack_K and ps.a3f_dia_D and ps.fuse_k34, (
+        "batched tracers require the packed+DIA+fused-K34 production forms")
+    L, Lp, Lpv = ps.L, ps.Lp, ps.Lpv
+
+    ttf = state["ttf"]
+    fct_LO = state["fct_LO"]
+    adf_v = state["fct_adf_v"]
+    adf_h_pad = state["fct_adf_h"]
+    dt = float(cfg.dt)
+
+    tt = kernels.bounds_dia_dma_pallas(
+        fct_LO, ttf, pd.a3f_dia_wb, pd.a3f_dia_lev, pd.nlev_nod_row,
+        tile=ps.tile, nblocks=ps.a3f_un_nblocks, D=ps.a3f_dia_D,
+        rems=_dia_rems(ps), vlimit=cfg.vlimit, Tb=Tb,
+    )
+    lim = kernels_packed.limit_packed_pallas(
+        adf_v, tt, pd.area_inv_pad, adf_h_pad, pd.pk_lev_home,
+        pd.pk_sc_lev, pd.pk_sc_wb, pd.nlev_nod_row, tile=ps.tile,
+        J=ps.pack_J_sc, K=ps.pack_K, Pk=ps.pack_Pk_s, L=L, dt=dt,
+        flux_eps=float(cfg.flux_eps), iter_yn=cfg.iter_yn, Tb=Tb,
+    )
+    pm, av_out = lim[0], lim[1]
+    av2 = lim[2] if cfg.iter_yn else None
+
+    fused = kernels_packed.update_fused_pallas(
+        av_out, ttf, state["hnode"], state["hnode_new"], fct_LO,
+        state["del_ttf_advvert"], state["del_ttf_advhoriz"],
+        pd.area_inv_pad, pm, adf_h_pad, pd.pk_gl_int, pd.pk_lev_home,
+        pd.pk_sc_lev, pd.pk_sc_wb, pd.pk_pm_wb, pd.nlev_nod_row,
+        tile=ps.tile, J=ps.pack_J_sc, J_pm=ps.pack_J_pm, K=ps.pack_K,
+        Pk_s=ps.pack_Pk_s, Pk_g=ps.pack_Pk_g, g_offs=ps.pack_g_offs, L=L,
+        dt=dt, iter_yn=cfg.iter_yn, Tb=Tb,
+    )
+    o1, o2, adf_h_lim_pad = fused[0], fused[1], fused[2]
+    adf_h_resid_pad = fused[3] if cfg.iter_yn else None
+
+    # per-tracer row-block halves of the stacked [Tb*2Lp, Np] arrays
+    # (diagnostic outputs; DCE'd inside scans, whose carry is state-only)
+    def halves(x):
+        x3 = x.reshape(Tb, 2 * Lp, x.shape[-1])
+        flat = x3.shape[-1]
+        return (x3[:, :Lp].reshape(Tb * Lp, flat),
+                x3[:, Lp:].reshape(Tb * Lp, flat))
+
+    tmax, tmin = halves(tt)
+    plus, minus = halves(pm)
+    out = dict(state)
+    out.update(fct_ttf_max=tmax, fct_ttf_min=tmin,
+               fct_plus=plus, fct_minus=minus)
+    if cfg.iter_yn:
+        out.update(
+            fct_LO=o1, fct_adf_v=av2, fct_adf_h=adf_h_resid_pad,
+            fct_adf_v_limited=av_out, fct_adf_h_limited=adf_h_lim_pad,
+        )
+    else:
+        out.update(
+            fct_adf_v=av_out, fct_adf_h=adf_h_lim_pad,
+            del_ttf_advvert=o1, del_ttf_advhoriz=o2,
+        )
+    return out
+
+
+def fct_ale_step_pallas_batched(pd: PallasData, ps: PallasStatic,
+                                cfg: FctAleConfig, state: dict) -> dict:
+    """Multi-tracer FCT-ALE step: per-tracer fields carry a leading tracer
+    axis ([Tb, L, N] family), ``hnode``/``hnode_new`` are shared [L, N].
+    Semantics = Tb independent :func:`fct_ale_step_pallas` calls; one
+    compiled chain."""
+    Tb = state["ttf"].shape[0]
+    pstate = pad_state_batched(ps, state, pd)
+    out = fct_ale_step_pallas_padded_batched(pd, ps, cfg, pstate, Tb)
+    return unpad_state_batched(ps, out, Tb, pd)

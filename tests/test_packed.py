@@ -174,6 +174,43 @@ def test_fused_k34_matches_split(small_mesh, iter_yn):
 
 
 @pytest.mark.parametrize("iter_yn", [False, True])
+def test_batched_tracers_match_single(small_mesh, iter_yn):
+    """Multi-tracer batching (fct_ale_step_pallas_batched): Tb tracers
+    row-stacked through one compiled chain on a (tiles, tracers) grid must
+    equal Tb independent single-tracer steps bit-for-bit (same kernels,
+    same math, shared geometry).  Reference: one full library call per
+    tracer (include/fesom2-accelerate.h:213-236)."""
+    mesh = small_mesh
+    Tb = 3
+    cfg = FctAleConfig(dt=0.7, iter_yn=iter_yn, dtype=jnp.float32,
+                       flux_eps=1e-7)
+    pd, ps = pstep.build_pallas_data(mesh)
+    assert ps.fuse_k34
+    per = [random_fields(mesh, seed=20 + t, dtype=np.float32)
+           for t in range(Tb)]
+    shared = {k: jnp.asarray(per[0][k]) for k in ("hnode", "hnode_new")}
+    batched = dict(shared)
+    for k in per[0]:
+        if k not in ("hnode", "hnode_new"):
+            batched[k] = jnp.asarray(np.stack([f[k] for f in per]))
+    with pltpu.force_tpu_interpret_mode():
+        out_b = pstep.fct_ale_step_pallas_batched(pd, ps, cfg, batched)
+        outs = []
+        for t in range(Tb):
+            s = {k: jnp.asarray(v) for k, v in per[t].items()}
+            s.update(shared)
+            outs.append(pstep.fct_ale_step_pallas(pd, ps, cfg, s))
+    for k in outs[0]:
+        for t in range(Tb):
+            got = np.asarray(out_b[k][t] if k not in ("hnode", "hnode_new")
+                             else out_b[k])
+            np.testing.assert_array_equal(
+                got, np.asarray(outs[t][k]), err_msg=f"{k}[t={t}]")
+            if k in ("hnode", "hnode_new"):
+                break
+
+
+@pytest.mark.parametrize("iter_yn", [False, True])
 def test_fused_k12_matches_oracle(small_mesh, iter_yn):
     """The opt-in fused K1+K2 kernel (kernels_packed.limit_fused_pallas;
     off by default — see PallasStatic.fuse_k12) matches the oracle."""
