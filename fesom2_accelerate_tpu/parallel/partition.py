@@ -423,3 +423,17 @@ def gather_node_field(pm: PartitionedMesh, local: np.ndarray) -> np.ndarray:
         gids = pm.local_nodes_global[p, H:H + no]
         out[..., gids] = local[p, ..., H:H + no]
     return out
+
+
+def gather_edge_field(pm: PartitionedMesh, local: np.ndarray) -> np.ndarray:
+    """Per-part [P, *, >=Ed_loc] -> global [*, Ed].  Edges adjacent to a
+    part boundary exist in several parts and carry equal values on a
+    correct run (their endpoint data is exchanged); any writer wins."""
+    Ed = pm.mesh.n_edges
+    W = pm.local_edges_global.shape[1]
+    lead = local.shape[1:-1]
+    out = np.zeros(lead + (Ed,), dtype=local.dtype)
+    for p in range(pm.n_parts):
+        m = pm.local_edges_global[p] >= 0
+        out[..., pm.local_edges_global[p][m]] = local[p, ..., :W][..., m]
+    return out

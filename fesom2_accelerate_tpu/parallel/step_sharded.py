@@ -406,6 +406,54 @@ class ShardedFctAleSolver:
             arr = multihost_utils.process_allgather(arr, tiled=True)
         return part_mod.gather_node_field(self.pm, np.asarray(arr))
 
+    # ---- checkpoint / resume --------------------------------------------
+    # Checkpoints store GLOBAL natural-layout state (gather on save,
+    # re-scatter on load), so they are portable across partition counts,
+    # backends, and process topologies — the property the reference could
+    # not have (its state lives in host-FESOM per-rank arrays).
+
+    def gather_state(self, state: dict) -> dict:
+        """Sharded state -> global natural-layout numpy dict."""
+        from fesom2_accelerate_tpu.ops.pallas.step import _EDGE_FIELDS
+
+        if self._multiproc:
+            from jax.experimental import multihost_utils
+
+            state = {k: multihost_utils.process_allgather(v, tiled=True)
+                     for k, v in state.items()}
+        state = {k: np.asarray(v) for k, v in state.items()}
+        if self.backend == "pallas":
+            ps = self.ps
+            unpad = jax.vmap(
+                lambda pm_, s: self._pstep.unpad_state(ps, s, pm_),
+                in_axes=0, out_axes=0)
+            state = {k: np.asarray(v)
+                     for k, v in unpad(self._padmaps, state).items()}
+        out = {}
+        for k, v in state.items():
+            if k in _EDGE_FIELDS:
+                out[k] = part_mod.gather_edge_field(self.pm, v)
+            else:
+                out[k] = part_mod.gather_node_field(self.pm, v)
+        return out
+
+    def save_checkpoint(self, path, state: dict, step: int = 0,
+                        use_orbax: "bool | None" = None) -> None:
+        from fesom2_accelerate_tpu.runtime import checkpoint as ckpt
+
+        if not self._multiproc or jax.process_index() == 0:
+            ckpt.save_checkpoint(path, self.gather_state(state), self.mesh,
+                                 self.cfg, step=step, use_orbax=use_orbax)
+
+    def load_checkpoint(self, path):
+        """Returns (sharded device state, step) — scatters the global
+        checkpoint through init_state, so a run saved at P parts resumes
+        at THIS solver's partition/backend."""
+        from fesom2_accelerate_tpu.runtime import checkpoint as ckpt
+
+        st, step = ckpt.load_checkpoint(path, self.mesh, self.cfg)
+        return self.init_state(st), step
+
     # ---- stepping -------------------------------------------------------
     def step(self, state: dict) -> dict:
         return self._step(self.md, self._hmaps, state)
