@@ -173,6 +173,29 @@ def test_fused_k34_matches_split(small_mesh, iter_yn):
                 np.asarray(out_f[k]), np.asarray(out_s[k]), err_msg=k)
 
 
+def test_batched_tracers_vlimit3(small_mesh):
+    """vlimit 2/3 flow through the batched K1 unchanged (the variant knob
+    lives in the bounds epilogue): batched == single per tracer."""
+    mesh = small_mesh
+    cfg = FctAleConfig(dt=0.7, vlimit=3, dtype=jnp.float32, flux_eps=1e-7)
+    pd, ps = pstep.build_pallas_data(mesh)
+    per = [random_fields(mesh, seed=30 + t, dtype=np.float32)
+           for t in range(2)]
+    shared = {k: jnp.asarray(per[0][k]) for k in ("hnode", "hnode_new")}
+    batched = dict(shared)
+    for k in per[0]:
+        if k not in ("hnode", "hnode_new"):
+            batched[k] = jnp.asarray(np.stack([f[k] for f in per]))
+    with pltpu.force_tpu_interpret_mode():
+        out_b = pstep.fct_ale_step_pallas_batched(pd, ps, cfg, batched)
+        s = {k: jnp.asarray(v) for k, v in per[1].items()}
+        s.update(shared)
+        out_1 = pstep.fct_ale_step_pallas(pd, ps, cfg, s)
+    for k in ("fct_ttf_max", "fct_plus", "fct_adf_h", "del_ttf_advvert"):
+        np.testing.assert_array_equal(np.asarray(out_b[k][1]),
+                                      np.asarray(out_1[k]), err_msg=k)
+
+
 @pytest.mark.parametrize("iter_yn", [False, True])
 def test_batched_tracers_match_single(small_mesh, iter_yn):
     """Multi-tracer batching (fct_ale_step_pallas_batched): Tb tracers
