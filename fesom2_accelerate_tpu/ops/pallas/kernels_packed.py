@@ -328,36 +328,45 @@ def _b3h_packed_compute(wb_ref, levh_ref, gind_ref, F_ref, out_ref,
 
 
 def _b3h_packed_kernel(wb_ref, levh_ref, gind_ref, F_ref, pm_hbm, *refs,
-                       Lp, TN, K, Pk, J, with_resid):
+                       Lp, TN, K, Pk, J, with_resid, Tb):
     out_ref = refs[0]
     resid_ref = refs[1] if with_resid else None
     win, scr, sems = refs[-3], refs[-2], refs[-1]
     i = pl.program_id(0)
-    _dma_stage_window(scr, win, pm_hbm, wb_ref, i, sems, J)
+    t = pl.program_id(1) if Tb > 1 else 0
+    _dma_stage_window(scr, win, pm_hbm, wb_ref, i, sems, J, t=t, Tb=Tb)
     _b3h_packed_compute(wb_ref, levh_ref, gind_ref, F_ref, out_ref,
                         resid_ref, scr, i, Lp, TN, K, Pk, with_resid)
 
 
 def b3h_packed_pallas(pm_stacked, F_packed, lev_home, g_ind, g_wb, *, tile,
-                      J, K, Pk, with_resid=True):
-    """Packed K3 -> (limited F [K*Lp, Np][, residual (1-ae)*F])."""
-    Lp2, Np = pm_stacked.shape
+                      J, K, Pk, with_resid=True, Tb=1):
+    """Packed K3 -> (limited F [K*Lp, Np][, residual (1-ae)*F]).
+
+    ``Tb`` > 1: multi-tracer batch (row-stacked per-tracer pm/F/outputs;
+    shared int maps VMEM-resident across the tracer-minor grid axis)."""
+    Lp2_all, Np = pm_stacked.shape
+    Lp2 = Lp2_all // Tb
     Lp = Lp2 // 2
     TN = tile
     T = Np // TN
     P = sum(Pk)
+
+    def pertr(rows):
+        return pl.BlockSpec((rows, TN), lambda i, t, wb: (t, i))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(T, Tb),
         in_specs=[
-            _tile_spec((K, TN)),
-            pl.BlockSpec((1, max(P, 1), TN), lambda i, wb: (i, 0, 0)),
-            _tile_spec((K * Lp, TN)),
+            pl.BlockSpec((K, TN), lambda i, t, wb: (0, i)),
+            pl.BlockSpec((1, max(P, 1), TN), lambda i, t, wb: (i, 0, 0)),
+            pertr(K * Lp),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            (_tile_spec((K * Lp, TN)), _tile_spec((K * Lp, TN)))
-            if with_resid else (_tile_spec((K * Lp, TN)),)
+            (pertr(K * Lp), pertr(K * Lp))
+            if with_resid else (pertr(K * Lp),)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, Lp2, J * BLOCK), jnp.float32),
@@ -366,11 +375,11 @@ def b3h_packed_pallas(pm_stacked, F_packed, lev_home, g_ind, g_wb, *, tile,
         ],
     )
     kernel = functools.partial(_b3h_packed_kernel, Lp=Lp, TN=TN, K=K, Pk=Pk,
-                               J=J, with_resid=with_resid)
-    out_shape = (jax.ShapeDtypeStruct((K * Lp, Np), jnp.float32),)
+                               J=J, with_resid=with_resid, Tb=Tb)
+    out_shape = (jax.ShapeDtypeStruct((Tb * K * Lp, Np), jnp.float32),)
     if with_resid:
         out_shape = out_shape + (
-            jax.ShapeDtypeStruct((K * Lp, Np), jnp.float32),)
+            jax.ShapeDtypeStruct((Tb * K * Lp, Np), jnp.float32),)
     out = pallas_call(
         kernel,
         name="fct_b3h_packed",
@@ -383,10 +392,14 @@ def b3h_packed_pallas(pm_stacked, F_packed, lev_home, g_ind, g_wb, *, tile,
 
 def b3h_packed_fixup_pallas(pm_stacked, F_packed, out_prev, resid_prev,
                             lev_home, g_ind, g_wb, tile_ids, *, tile, J, K,
-                            Pk, with_resid=True):
+                            Pk, with_resid=True, Tb=1):
     """Recompute packed b3h on the BOUNDARY node tiles only, in place
-    (the post-exchange fixup; see kernels.b3h_fixup_pallas)."""
-    Lp2, Np = pm_stacked.shape
+    (the post-exchange fixup; see kernels.b3h_fixup_pallas).
+
+    ``Tb`` > 1: multi-tracer batch — grid (fix tiles, tracers), per-tracer
+    pm window blocks / F / in-place outputs row-stacked."""
+    Lp2_all, Np = pm_stacked.shape
+    Lp2 = Lp2_all // Tb
     Lp = Lp2 // 2
     TN = tile
     F = tile_ids.shape[0]
@@ -394,26 +407,31 @@ def b3h_packed_fixup_pallas(pm_stacked, F_packed, out_prev, resid_prev,
 
     def _win_ids(rows, J):
         return [pl.BlockSpec(
-            (rows, BLOCK), lambda i, wb, ids, j=j: (0, wb[ids[i], 0] + j)
+            (rows, BLOCK),
+            lambda i, t, wb, ids, j=j: (t, wb[ids[i], 0] + j)
         ) for j in range(J)]
 
     def _tile_ids(shape):
-        return pl.BlockSpec(shape, lambda i, wb, ids: (0, ids[i]))
+        return pl.BlockSpec(shape, lambda i, t, wb, ids: (0, ids[i]))
+
+    def _tile_ids_tr(shape):  # per-tracer row block
+        return pl.BlockSpec(shape, lambda i, t, wb, ids: (t, ids[i]))
 
     in_specs = [
         _tile_ids((K, TN)),
-        pl.BlockSpec((1, max(P, 1), TN), lambda i, wb, ids: (ids[i], 0, 0)),
-        _tile_ids((K * Lp, TN)),
+        pl.BlockSpec((1, max(P, 1), TN),
+                     lambda i, t, wb, ids: (ids[i], 0, 0)),
+        _tile_ids_tr((K * Lp, TN)),
         *_win_ids(Lp2, J),
-        _tile_ids((K * Lp, TN)),
+        _tile_ids_tr((K * Lp, TN)),
     ]
-    out_specs = [_tile_ids((K * Lp, TN))]
+    out_specs = [_tile_ids_tr((K * Lp, TN))]
     if with_resid:
-        in_specs.append(_tile_ids((K * Lp, TN)))
-        out_specs.append(_tile_ids((K * Lp, TN)))
+        in_specs.append(_tile_ids_tr((K * Lp, TN)))
+        out_specs.append(_tile_ids_tr((K * Lp, TN)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(F,),
+        grid=(F, Tb),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=[
@@ -461,11 +479,12 @@ def b3h_packed_fixup_pallas(pm_stacked, F_packed, out_prev, resid_prev,
 def _update_packed_kernel(wb_ref, avl_ref, ttf_ref, hn_ref, hnn_ref, lo_ref,
                           dvin_ref, dhin_ref, ainv_ref, nlevn_ref, levh_ref,
                           sclev_ref, F_hbm, *refs,
-                          Lp, Lpv, L, TN, K, Pk, J, dt, iter_yn):
+                          Lp, Lpv, L, TN, K, Pk, J, dt, iter_yn, Tb):
     o1_ref, o2_ref = refs[0], refs[1]
     win, scr, sems = refs[-3], refs[-2], refs[-1]
     i = pl.program_id(0)
-    _dma_stage_window(scr, win, F_hbm, wb_ref, i, sems, J)
+    t = pl.program_id(1) if Tb > 1 else 0
+    _dma_stage_window(scr, win, F_hbm, wb_ref, i, sems, J, t=t, Tb=Tb)
     a0 = i * TN - wb_ref[i, 0] * BLOCK
     z = _row_iota((Lp, TN))
 
@@ -501,33 +520,44 @@ def _update_packed_kernel(wb_ref, avl_ref, ttf_ref, hn_ref, hnn_ref, lo_ref,
 def update_packed_pallas(adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad,
                          fct_LO_pad, del_v_pad, del_h_pad, area_inv_pad,
                          F_lim_packed, lev_home, sc_lev, sc_wb, nlev_nod_row,
-                         *, tile, J, K, Pk, L, dt, iter_yn):
-    """Packed K4 -> (o1, o2); see kernels.update_pallas."""
-    Lpv, Np = adf_v_lim_pad.shape
+                         *, tile, J, K, Pk, L, dt, iter_yn, Tb=1):
+    """Packed K4 -> (o1, o2); see kernels.update_pallas.
+
+    ``Tb`` > 1: multi-tracer batch (per-tracer avl/ttf/lo/del/F
+    row-stacked; hnode/hnode_new/area_inv and int maps shared)."""
+    Lpv = adf_v_lim_pad.shape[0] // Tb
+    Np = adf_v_lim_pad.shape[1]
     Lp = area_inv_pad.shape[0]
     TN = tile
     T = Np // TN
     P = sum(Pk)
+
+    def pertr(rows):
+        return pl.BlockSpec((rows, TN), lambda i, t, wb: (t, i))
+
+    def shared(rows):
+        return pl.BlockSpec((rows, TN), lambda i, t, wb: (0, i))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(T, Tb),
         in_specs=[
-            _tile_spec((Lpv, TN)),
-            _tile_spec((Lp, TN)),
-            _tile_spec((Lp, TN)),
-            _tile_spec((Lp, TN)),
-            _tile_spec((Lp, TN)),
-            _tile_spec((Lp, TN)),
-            _tile_spec((Lp, TN)),
-            _tile_spec((Lp, TN)),
-            _tile_spec((1, TN)),
-            _tile_spec((K, TN)),
-            pl.BlockSpec((1, max(P, 1), TN), lambda i, wb: (i, 0, 0)),
+            pertr(Lpv),
+            pertr(Lp),
+            shared(Lp),
+            shared(Lp),
+            pertr(Lp),
+            pertr(Lp),
+            pertr(Lp),
+            shared(Lp),
+            shared(1),
+            shared(K),
+            pl.BlockSpec((1, max(P, 1), TN), lambda i, t, wb: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            _tile_spec((Lp, TN)),
-            _tile_spec((Lp, TN)),
+            pertr(Lp),
+            pertr(Lp),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, K * Lp, J * BLOCK), jnp.float32),
@@ -537,15 +567,15 @@ def update_packed_pallas(adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad,
     )
     kernel = functools.partial(_update_packed_kernel, Lp=Lp, Lpv=Lpv, L=L,
                                TN=TN, K=K, Pk=Pk, J=J, dt=dt,
-                               iter_yn=iter_yn)
+                               iter_yn=iter_yn, Tb=Tb)
     return pallas_call(
         kernel,
         name="fct_update_packed",
         grid_spec=grid_spec,
         compiler_params=_COMPILER_PARAMS,
         out_shape=(
-            jax.ShapeDtypeStruct((Lp, Np), jnp.float32),
-            jax.ShapeDtypeStruct((Lp, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Tb * Lp, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Tb * Lp, Np), jnp.float32),
         ),
     )(sc_wb, adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad, fct_LO_pad,
       del_v_pad, del_h_pad, area_inv_pad, nlev_nod_row, lev_home, sc_lev,

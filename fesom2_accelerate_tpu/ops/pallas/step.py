@@ -1037,14 +1037,18 @@ def unpad_state_batched(ps: PallasStatic, pstate: dict, Tb: int,
 
 def fct_ale_step_pallas_padded_batched(pd: PallasData, ps: PallasStatic,
                                        cfg: FctAleConfig, state: dict,
-                                       Tb: int) -> dict:
+                                       Tb: int, exchange=None) -> dict:
     """One step on PADDED row-stacked multi-tracer state (scan-carry form).
 
-    Requires the fused production forms (packed + DIA + fuse_k34) — the
-    batched grids exist only for those kernels; exchange-free (single
-    device)."""
-    assert ps.pack_K and ps.a3f_dia_D and ps.fuse_k34, (
-        "batched tracers require the packed+DIA+fused-K34 production forms")
+    Requires the packed+DIA production forms — the batched grids exist
+    only for those kernels.  ``exchange`` (sharded runs): halo-fill
+    callback applied to the ROW-STACKED limiter factors (all Tb tracers'
+    halos move in ONE collective — the exchange latency amortizes across
+    the batch); with a boundary-tile plan the split K3 runs on
+    pre-exchange factors and only the fixup waits, exactly like the
+    single-tracer sharded step."""
+    assert ps.pack_K and ps.a3f_dia_D, (
+        "batched tracers require the packed+DIA production forms")
     L, Lp, Lpv = ps.L, ps.Lp, ps.Lpv
 
     ttf = state["ttf"]
@@ -1067,17 +1071,45 @@ def fct_ale_step_pallas_padded_batched(pd: PallasData, ps: PallasStatic,
     pm, av_out = lim[0], lim[1]
     av2 = lim[2] if cfg.iter_yn else None
 
-    fused = kernels_packed.update_fused_pallas(
-        av_out, ttf, state["hnode"], state["hnode_new"], fct_LO,
-        state["del_ttf_advvert"], state["del_ttf_advhoriz"],
-        pd.area_inv_pad, pm, adf_h_pad, pd.pk_gl_int, pd.pk_lev_home,
-        pd.pk_sc_lev, pd.pk_sc_wb, pd.pk_pm_wb, pd.nlev_nod_row,
-        tile=ps.tile, J=ps.pack_J_sc, J_pm=ps.pack_J_pm, K=ps.pack_K,
-        Pk_s=ps.pack_Pk_s, Pk_g=ps.pack_Pk_g, g_offs=ps.pack_g_offs, L=L,
-        dt=dt, iter_yn=cfg.iter_yn, Tb=Tb,
-    )
-    o1, o2, adf_h_lim_pad = fused[0], fused[1], fused[2]
-    adf_h_resid_pad = fused[3] if cfg.iter_yn else None
+    overlap = exchange is not None and ps.n_fix_tiles > 0
+    pm_x = exchange(pm) if exchange is not None else pm
+
+    if ps.fuse_k34 and exchange is None:
+        fused = kernels_packed.update_fused_pallas(
+            av_out, ttf, state["hnode"], state["hnode_new"], fct_LO,
+            state["del_ttf_advvert"], state["del_ttf_advhoriz"],
+            pd.area_inv_pad, pm_x, adf_h_pad, pd.pk_gl_int, pd.pk_lev_home,
+            pd.pk_sc_lev, pd.pk_sc_wb, pd.pk_pm_wb, pd.nlev_nod_row,
+            tile=ps.tile, J=ps.pack_J_sc, J_pm=ps.pack_J_pm, K=ps.pack_K,
+            Pk_s=ps.pack_Pk_s, Pk_g=ps.pack_Pk_g, g_offs=ps.pack_g_offs,
+            L=L, dt=dt, iter_yn=cfg.iter_yn, Tb=Tb,
+        )
+        o1, o2, adf_h_lim_pad = fused[0], fused[1], fused[2]
+        adf_h_resid_pad = fused[3] if cfg.iter_yn else None
+    else:
+        # split K3 (+ boundary fixup) -> K4: the sharded-overlap structure
+        adf_h_lim_pad, adf_h_resid_pad = kernels_packed.b3h_packed_pallas(
+            pm if overlap else pm_x, adf_h_pad, pd.pk_lev_home, pd.pk_g_ind,
+            pd.pk_g_wb, tile=ps.tile, J=ps.pack_J_g, K=ps.pack_K,
+            Pk=ps.pack_Pk_g, with_resid=cfg.iter_yn, Tb=Tb,
+        )
+        if overlap:
+            adf_h_lim_pad, adf_h_resid_pad = (
+                kernels_packed.b3h_packed_fixup_pallas(
+                    pm_x, adf_h_pad, adf_h_lim_pad, adf_h_resid_pad,
+                    pd.pk_lev_home, pd.pk_g_ind, pd.pk_g_wb,
+                    pd.b3h_fix_ids, tile=ps.tile, J=ps.pack_J_g,
+                    K=ps.pack_K, Pk=ps.pack_Pk_g, with_resid=cfg.iter_yn,
+                    Tb=Tb,
+                ))
+        o1, o2 = kernels_packed.update_packed_pallas(
+            av_out, ttf, state["hnode"], state["hnode_new"], fct_LO,
+            state["del_ttf_advvert"], state["del_ttf_advhoriz"],
+            pd.area_inv_pad, adf_h_lim_pad, pd.pk_lev_home, pd.pk_sc_lev,
+            pd.pk_sc_wb, pd.nlev_nod_row, tile=ps.tile, J=ps.pack_J_sc,
+            K=ps.pack_K, Pk=ps.pack_Pk_s, L=L, dt=dt, iter_yn=cfg.iter_yn,
+            Tb=Tb,
+        )
 
     # per-tracer row-block halves of the stacked [Tb*2Lp, Np] arrays
     # (diagnostic outputs; DCE'd inside scans, whose carry is state-only)
@@ -1088,11 +1120,14 @@ def fct_ale_step_pallas_padded_batched(pd: PallasData, ps: PallasStatic,
                 x3[:, Lp:].reshape(Tb * Lp, flat))
 
     tmax, tmin = halves(tt)
-    plus, minus = halves(pm)
+    plus, minus = halves(pm_x)
     out = dict(state)
     out.update(fct_ttf_max=tmax, fct_ttf_min=tmin,
                fct_plus=plus, fct_minus=minus)
     if cfg.iter_yn:
+        if exchange is not None:
+            # halo refresh so the next iteration's a1 sees current fct_LO
+            o1 = exchange(o1)
         out.update(
             fct_LO=o1, fct_adf_v=av2, fct_adf_h=adf_h_resid_pad,
             fct_adf_v_limited=av_out, fct_adf_h_limited=adf_h_lim_pad,

@@ -204,11 +204,20 @@ class ShardedFctAleSolver:
     def __init__(self, mesh: Mesh, cfg: FctAleConfig = FctAleConfig(),
                  devices=None, axis_name: str = "p", backend: str = "xla",
                  exchange: str = "auto",
-                 part_counts: "np.ndarray | None" = None):
+                 part_counts: "np.ndarray | None" = None,
+                 tracers: int = 1):
         self.mesh = mesh
         self.cfg = cfg
         self.axis_name = axis_name
         self.backend = backend
+        # tracers > 1 (pallas only): Tb tracers row-stacked through one
+        # compiled chain per shard; all Tb tracers' halos move in ONE
+        # ppermute per step (the collective latency amortizes across the
+        # batch).  init_state then expects per-tracer [Tb, L, N] fields
+        # with shared [L, N] hnode/hnode_new.
+        assert tracers == 1 or backend == "pallas", (
+            "tracer batching is pallas-only")
+        self.tracers = tracers
         devices = devices if devices is not None else jax.devices()
         self.n_parts = len(devices)
         self.jax_mesh = JaxMesh(np.asarray(devices), (axis_name,))
@@ -336,13 +345,21 @@ class ShardedFctAleSolver:
             self.md = put_stacked(pds)
             self._pstep = pstep
 
+            Tb = self.tracers
+
             def local_step(pd, hmaps, state):
                 pd = jax.tree.map(lambda x: x[0], pd)
                 hmaps = jax.tree.map(lambda x: x[0], hmaps)
                 state = jax.tree.map(lambda x: x[0], state)
-                out = pstep.fct_ale_step_pallas_padded(
-                    pd, common, cfg, state, exchange=make_exchange(hmaps)
-                )
+                if Tb > 1:
+                    out = pstep.fct_ale_step_pallas_padded_batched(
+                        pd, common, cfg, state, Tb,
+                        exchange=make_exchange(hmaps),
+                    )
+                else:
+                    out = pstep.fct_ale_step_pallas_padded(
+                        pd, common, cfg, state, exchange=make_exchange(hmaps)
+                    )
                 return jax.tree.map(lambda x: x[None], out)
 
         else:
@@ -392,8 +409,14 @@ class ShardedFctAleSolver:
             # pad each part to the kernel layout (stacked, then sharded);
             # per-part edge<->slot maps ride in the stacked PallasData
             ps = self.ps
-            pad = jax.vmap(lambda pm_, s: self._pstep.pad_state(ps, s, pm_),
-                           in_axes=0, out_axes=0)
+            if self.tracers > 1:
+                pad = jax.vmap(
+                    lambda pm_, s: self._pstep.pad_state_batched(ps, s, pm_),
+                    in_axes=0, out_axes=0)
+            else:
+                pad = jax.vmap(
+                    lambda pm_, s: self._pstep.pad_state(ps, s, pm_),
+                    in_axes=0, out_axes=0)
             out = pad(self._padmaps, out)
         return {k: self._put(v) for k, v in out.items()}
 
@@ -423,10 +446,16 @@ class ShardedFctAleSolver:
                      for k, v in state.items()}
         state = {k: np.asarray(v) for k, v in state.items()}
         if self.backend == "pallas":
-            ps = self.ps
-            unpad = jax.vmap(
-                lambda pm_, s: self._pstep.unpad_state(ps, s, pm_),
-                in_axes=0, out_axes=0)
+            ps, Tb = self.ps, self.tracers
+            if Tb > 1:
+                unpad = jax.vmap(
+                    lambda pm_, s: self._pstep.unpad_state_batched(
+                        ps, s, Tb, pm_),
+                    in_axes=0, out_axes=0)
+            else:
+                unpad = jax.vmap(
+                    lambda pm_, s: self._pstep.unpad_state(ps, s, pm_),
+                    in_axes=0, out_axes=0)
             state = {k: np.asarray(v)
                      for k, v in unpad(self._padmaps, state).items()}
         out = {}

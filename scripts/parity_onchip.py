@@ -185,6 +185,42 @@ def main():
                   f"max relerr {max(errs.values()):.2e} "
                   f"bitexact={bitexact} ok={case_ok}", flush=True)
 
+    # ---- multi-tracer batched kernels ON CHIP ----------------------------
+    # (round-5 feature: (tiles, tracers) grids + per-(tile, tracer) DMA
+    # windows — certify the batched lowering against per-tracer singles)
+    for iter_yn in (False, True):
+        cfg = FctAleConfig(dt=0.7, vlimit=1, iter_yn=iter_yn,
+                           dtype=jnp.float32, flux_eps=1e-7)
+        pd_b, ps_b = pstep.build_pallas_data(mesh)
+        Tb = 3
+        # independent VALID per-tracer fields (values below each node's
+        # seabed are don't-care and legitimately differ between paths)
+        per = [{k: v.astype(np.float32) for k, v in
+                random_fields(mesh, seed=60 + t).items()}
+               for t in range(Tb)]
+        shared = {k: jnp.asarray(per[0][k]) for k in ("hnode", "hnode_new")}
+        batched = dict(shared)
+        for k in per[0]:
+            if k not in batched:
+                batched[k] = jnp.asarray(np.stack([f[k] for f in per]))
+        out_b = pstep.fct_ale_step_pallas_batched(pd_b, ps_b, cfg, batched)
+        errs = {}
+        for t in range(Tb):
+            s = {k: jnp.asarray(v) for k, v in per[t].items()}
+            s.update(shared)
+            out_1 = pstep.fct_ale_step_pallas(pd_b, ps_b, cfg, s)
+            for k in ("fct_plus", "fct_minus", "fct_adf_v", "fct_adf_h"):
+                errs[f"{k}[{t}]"] = _relerr(out_b[k][t], out_1[k])
+        case_ok = max(errs.values()) == 0.0  # same kernels, same math
+        ok_all = ok_all and case_ok
+        record["cases"].append(dict(
+            form="batched_tracers", vlimit=1, iter_yn=iter_yn, Tb=Tb,
+            max_relerr=max(errs.values()), ok=case_ok,
+        ))
+        print(f"batched_tracers Tb={Tb} iter={int(iter_yn)}: "
+              f"max relerr {max(errs.values()):.2e} ok={case_ok}",
+              flush=True)
+
     # ---- 1-device sharded program ON CHIP --------------------------------
     # Compiles the shard_map + collective + pallas composition through the
     # real Mosaic/XLA:TPU stack (the multichip dryrun only exercises the

@@ -290,3 +290,57 @@ def test_sharded_pallas_fallback_on_irregular_mesh():
         ref = np.asarray(ref_out[k])
         err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1.0)
         assert err < 2e-6, f"fallback[{k}] relerr {err:.2e}"
+
+
+def test_sharded_tracers_match_single(setup):
+    """Multi-tracer batching composed with domain decomposition: Tb
+    tracers row-stacked per shard, ONE ppermute moving every tracer's
+    halo per step — each tracer must match the single-device XLA step."""
+    from fesom2_accelerate_tpu.ops.pallas import kernels as pk
+
+    mesh, fields = setup
+    Tb = 2
+    cfg = FctAleConfig(dt=0.7, dtype=jnp.float32, flux_eps=1e-7)
+    # independent VALID per-tracer fields (rolled/synthetic-invalid fields
+    # put flux below the seabed, where implementations legitimately differ)
+    per = [fields] + [random_fields(mesh, seed=50 + t) for t in range(1, Tb)]
+    per32 = [{k: v.astype(np.float32) for k, v in f.items()} for f in per]
+
+    refs = []
+    for t in range(Tb):
+        s = dict(per32[t])
+        s.update({k: per32[0][k] for k in ("hnode", "hnode_new")})
+        solver = FctAleSolver(mesh, cfg)
+        refs.append(solver.step(solver.init_state(s)))
+
+    batched = {k: per32[0][k] for k in ("hnode", "hnode_new")}
+    for k in per32[0]:
+        if k not in batched:
+            batched[k] = np.stack([f[k] for f in per32])
+
+    pk.set_interpret(True)
+    try:
+        sh = ShardedFctAleSolver(mesh, cfg, backend="pallas", tracers=Tb)
+        assert sh.ps.pack_K > 0 and sh.degraded == []
+        assert sh.ps.n_fix_tiles > 0  # the batched fixup kernel runs
+        out = sh.step(sh.init_state(batched))
+    finally:
+        pk.set_interpret(False)
+
+    L, Lp = mesh.n_layers, sh.ps.Lp
+    for k in ("fct_plus", "fct_minus", "del_ttf_advvert",
+              "del_ttf_advhoriz"):
+        got = sh.gather_node(out[k]).reshape(Tb, -1, mesh.n_nodes)[:, :L]
+        for t in range(Tb):
+            ref = np.asarray(refs[t][k])
+            err = np.abs(got[t] - ref).max() / max(np.abs(ref).max(), 1.0)
+            assert err < 2e-6, f"sharded-tracers[{k}][t={t}] relerr {err:.2e}"
+
+    # gather_state (the checkpoint path) is tracer-aware: init fields
+    # round-trip through the padded batched layout
+    g = sh.gather_state(sh.init_state(batched))
+    for k in ("ttf", "fct_adf_h"):
+        for t in range(Tb):
+            np.testing.assert_array_equal(
+                np.asarray(g[k][t]), per32[t][k],
+                err_msg=f"gather_state[{k}][t={t}]")
