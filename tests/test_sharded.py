@@ -292,7 +292,8 @@ def test_sharded_pallas_fallback_on_irregular_mesh():
         assert err < 2e-6, f"fallback[{k}] relerr {err:.2e}"
 
 
-def test_sharded_tracers_match_single(setup):
+@pytest.mark.parametrize("iter_yn", [False, True])
+def test_sharded_tracers_match_single(setup, iter_yn):
     """Multi-tracer batching composed with domain decomposition: Tb
     tracers row-stacked per shard, ONE ppermute moving every tracer's
     halo per step — each tracer must match the single-device XLA step."""
@@ -300,7 +301,8 @@ def test_sharded_tracers_match_single(setup):
 
     mesh, fields = setup
     Tb = 2
-    cfg = FctAleConfig(dt=0.7, dtype=jnp.float32, flux_eps=1e-7)
+    cfg = FctAleConfig(dt=0.7, iter_yn=iter_yn, dtype=jnp.float32,
+                       flux_eps=1e-7)
     # independent VALID per-tracer fields (rolled/synthetic-invalid fields
     # put flux below the seabed, where implementations legitimately differ)
     per = [fields] + [random_fields(mesh, seed=50 + t) for t in range(1, Tb)]
@@ -328,8 +330,10 @@ def test_sharded_tracers_match_single(setup):
         pk.set_interpret(False)
 
     L, Lp = mesh.n_layers, sh.ps.Lp
-    for k in ("fct_plus", "fct_minus", "del_ttf_advvert",
-              "del_ttf_advhoriz"):
+    keys = ["fct_plus", "fct_minus"]
+    keys += (["fct_LO"] if iter_yn
+             else ["del_ttf_advvert", "del_ttf_advhoriz"])
+    for k in keys:
         got = sh.gather_node(out[k]).reshape(Tb, -1, mesh.n_nodes)[:, :L]
         for t in range(Tb):
             ref = np.asarray(refs[t][k])
