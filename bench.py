@@ -127,7 +127,7 @@ def main():
     # window-overlap inflation) against the rig's MEASURED streaming roof —
     # two honest numbers instead of two partially-cancelling distortions.
     ps = getattr(solver, "ps", None)
-    phys = (fct_ale_step_bytes_physical(ps, iter_yn=args.iter)
+    phys = (fct_ale_step_bytes_physical(ps, iter_yn=args.iter, Tb=Tb)
             if ps is not None else None)
     if phys is not None:
         bw_meas = measure_stream_bandwidth()

@@ -1031,7 +1031,7 @@ def _s2r_packed_kernel(wb_ref, hc_ref, ind_ref, iam_ref, ra_ref, rm_ref,
             q = wb_ref[i, 1 + p]
             seg = uv_scr[k * 8:(k + 1) * 8,
                          pl.ds(pl.multiple_of(q * BLOCK, BLOCK), TN + BLOCK)]
-            rem = rems[p] % BLOCK
+            rem = rems[p]
             uv = (pltpu.roll(seg, TN + BLOCK - rem, axis=1)
                   if rem else seg)[:, :TN]
             add(uv, ind[p:p + 1])

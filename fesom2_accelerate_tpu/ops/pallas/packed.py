@@ -308,7 +308,8 @@ class PackedS2RPlan:
     einv: np.ndarray  # [K, Np] int32 element id at (slot, home); -1 absent
     eslot: np.ndarray  # [E] int32
     hc: np.ndarray  # [K, Np] int32 home corner code (1..3; 0 absent)
-    wb: np.ndarray  # [T, 1 + 2*P] int32 (win_block, q..., rem...)
+    wb: np.ndarray  # [T, 1 + P] int32 (win_block, q...); lane residues
+    # are STATIC (``rems``), not per-tile data
     ind: np.ndarray  # [T, P, tile] int32 corner code at target (0 none)
 
 
@@ -318,6 +319,12 @@ def build_packed_s2r_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
     exceed ``pack_pmax`` (fall back to the one-hot scatter kernel).
 
     ``common_static``: (K, Pk, J) to force (sharded use)."""
+    # the kernel rolls by STATIC lane residues ((-d) mod 128), valid only
+    # when every tile start is 128-aligned — reject unaligned tiles loudly
+    # (the same guard build_pallas_data carries for the FCT chain)
+    assert tile % BLOCK == 0, (
+        f"tile={tile} must be a multiple of {BLOCK} (static pair-roll "
+        "residues assume 128-aligned tile starts)")
     en = mesh.elem_nodes
     E, N = mesh.n_elems, mesh.n_nodes
     T = Np // tile
@@ -383,7 +390,7 @@ def build_packed_s2r_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
         J = j_own
 
     P = sum(Pk)
-    wb = np.zeros((T, 1 + 2 * P), dtype=np.int32)
+    wb = np.zeros((T, 1 + P), dtype=np.int32)
     ind = np.zeros((T, max(P, 1), tile), dtype=np.int32)
     base = np.concatenate([[0], np.cumsum(Pk)]).astype(int)
     wbk = np.maximum(0, (t0s + tile) // BLOCK - J)
@@ -395,12 +402,12 @@ def build_packed_s2r_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
         for j, dd in enumerate(sorted(glob[kk])):
             pos[(kk, dd)] = base[kk] + j
             offs_flat[base[kk] + j] = dd
-    # every tile carries every pair's (q, rem): absent pairs are masked by
-    # ind == 0, and their q still addresses valid window columns
+    # every tile carries every pair's q (block index; the lane residue is
+    # STATIC per pair): absent pairs are masked by ind == 0, and their q
+    # still addresses valid window columns
     for (kk, dd), p in pos.items():
         s = (t0s - dd - wbk.astype(np.int64) * BLOCK) % (J * BLOCK)
         wb[:, 1 + p] = s // BLOCK
-        wb[:, 1 + P + p] = s % BLOCK
     for code, tgt, k, d, _e in per_corner:
         for tt, kk, dd, j in zip(tgt // tile, k, d, tgt - (tgt // tile) * tile):
             ind[int(tt), pos[(int(kk), int(dd))], int(j)] = code

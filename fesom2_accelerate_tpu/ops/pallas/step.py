@@ -832,24 +832,9 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
         )
         o1, o2, adf_h_lim_pad = fused[0], fused[1], fused[2]
         adf_h_resid_pad = fused[3] if cfg.iter_yn else None
-
-        out = dict(state)
-        out.update(
-            fct_ttf_max=tt[:Lp], fct_ttf_min=tt[Lp:],
-            fct_plus=pm_x[:Lp], fct_minus=pm_x[Lp:],
-        )
-        if cfg.iter_yn:
-            out.update(
-                fct_LO=o1, fct_adf_v=av2, fct_adf_h=adf_h_resid_pad,
-                fct_adf_v_limited=av_out,
-                fct_adf_h_limited=adf_h_lim_pad,
-            )
-        else:
-            out.update(
-                fct_adf_v=av_out, fct_adf_h=adf_h_lim_pad,
-                del_ttf_advvert=o1, del_ttf_advhoriz=o2,
-            )
-        return out
+        return _assemble_step_out(ps, cfg, state, tt, pm_x, av_out, av2,
+                                  adf_h_lim_pad, adf_h_resid_pad, o1, o2,
+                                  exchange)
 
     # K3: b3 horizontal (endpoint gathers).  With a boundary plan it
     # consumes the PRE-exchange factors — interior edges see only owned
@@ -906,6 +891,16 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
             dt=dt, iter_yn=cfg.iter_yn, chunk=ps.scatter_chunk,
         )
 
+    return _assemble_step_out(ps, cfg, state, tt, pm_x, av_out, av2,
+                              adf_h_lim_pad, adf_h_resid_pad, o1, o2,
+                              exchange)
+
+
+def _assemble_step_out(ps, cfg, state, tt, pm_x, av_out, av2,
+                       adf_h_lim_pad, adf_h_resid_pad, o1, o2, exchange):
+    """Shared output-dict assembly of the padded step (single source for
+    the fused-K34, split, and batched paths' iter/non-iter key sets)."""
+    Lp = ps.Lp
     out = dict(state)
     out.update(
         fct_ttf_max=tt[:Lp], fct_ttf_min=tt[Lp:],
@@ -913,6 +908,7 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
     )
     if cfg.iter_yn:
         if exchange is not None:
+            # halo refresh so the next iteration's a1 sees current fct_LO
             o1 = exchange(o1)
         out.update(
             fct_LO=o1,

@@ -470,9 +470,13 @@ class ShardedFctAleSolver:
                         use_orbax: "bool | None" = None) -> None:
         from fesom2_accelerate_tpu.runtime import checkpoint as ckpt
 
+        # gather_state contains a COLLECTIVE (process_allgather) in
+        # multi-process runs — every process must participate; only the
+        # file write is gated to process 0
+        gathered = self.gather_state(state)
         if not self._multiproc or jax.process_index() == 0:
-            ckpt.save_checkpoint(path, self.gather_state(state), self.mesh,
-                                 self.cfg, step=step, use_orbax=use_orbax)
+            ckpt.save_checkpoint(path, gathered, self.mesh, self.cfg,
+                                 step=step, use_orbax=use_orbax)
 
     def load_checkpoint(self, path):
         """Returns (sharded device state, step) — scatters the global

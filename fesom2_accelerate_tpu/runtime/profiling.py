@@ -110,7 +110,8 @@ def stress2rhs_bytes(mesh: Mesh, itemsize: int = 4) -> int:
     return b
 
 
-def fct_ale_step_bytes_physical(ps, iter_yn: bool = False) -> "int | None":
+def fct_ale_step_bytes_physical(ps, iter_yn: bool = False,
+                                Tb: int = 1) -> "int | None":
     """PHYSICAL HBM traffic of one fused-chain step in the packed+DIA
     production form — operands each kernel actually moves, per tile,
     including the K-slab inflation of edge fields and the window-overlap
@@ -125,6 +126,12 @@ def fct_ale_step_bytes_physical(ps, iter_yn: bool = False) -> "int | None":
     (ps.pack_K == 0 or ps.a3f_dia_D == 0).
 
     ``ps``: a PallasStatic (ops/pallas/step.py).
+
+    ``Tb`` > 1 (multi-tracer batch): returns the PER-TRACER bytes — the
+    shared operands (int maps, gl window, hnode/hnode_new/area_inv tiles)
+    are fetched once per tile and re-used across the tracer-minor grid
+    axis, so they amortize by Tb; counting them in full against the
+    per-tracer time would inflate the roofline fraction.
     """
     if not getattr(ps, "pack_K", 0) or not getattr(ps, "a3f_dia_D", 0):
         return None
@@ -137,7 +144,11 @@ def fct_ale_step_bytes_physical(ps, iter_yn: bool = False) -> "int | None":
     P_s, P_g = sum(ps.pack_Pk_s), sum(ps.pack_Pk_g)
     D = ps.a3f_dia_D
 
-    b = 0
+    b = 0   # per-tracer bytes
+    sh = 0  # shared bytes (amortize by Tb in batched runs)
+    if Tb > 1:
+        assert getattr(ps, "fuse_k34", False) and not ps.fuse_k12, (
+            "the Tb-aware model covers the fused-K34 production path")
     if ps.fuse_k12 and D and ps.pack_K:
         # fused K1+K2: LO/ttf tile + window reads, adf_v/area_inv tiles,
         # F window; writes tt + pm + av (+resid)
@@ -150,11 +161,13 @@ def fct_ale_step_bytes_physical(ps, iter_yn: bool = False) -> "int | None":
     else:
         # K1 bounds (DIA DMA): aligned LO/ttf tiles + one [2Lp, W] window
         # copy per tile; writes tt [2Lp, Np]; int: dia_lev + nlev row
-        b += f * (2 * Lp * Np + 2 * Lp * T * W_un) + 4 * (D * Np + Np)
+        b += f * (2 * Lp * Np + 2 * Lp * T * W_un)
+        sh += 4 * (D * Np + Np)
         b += f * 2 * Lp * Np
-        # K2 limit: adf_v + tt + area_inv tiles, F window; writes pm + av
-        b += f * (Lpv * Np + 2 * Lp * Np + Lp * Np + K * Lp * T * W_sc)
-        b += 4 * (Np + K * Np + P_s * Np)
+        # K2 limit: adf_v + tt tiles, F window; writes pm + av
+        # (area_inv tile + int maps are shared)
+        b += f * (Lpv * Np + 2 * Lp * Np + K * Lp * T * W_sc)
+        sh += f * Lp * Np + 4 * (Np + K * Np + P_s * Np)
         b += f * (2 * Lp * Np + Lpv * Np)
         if iter_yn:
             b += f * Lpv * Np  # adf_v residual output
@@ -163,15 +176,19 @@ def fct_ale_step_bytes_physical(ps, iter_yn: bool = False) -> "int | None":
         # window + int (lev/indicator) window + K4's node tiles; writes
         # o1 + o2 + limited F (+resid).  K3's separate aligned F read,
         # its own pm window and its limited-F write/re-read disappear.
+        # Per-tracer: avl + 4 node tiles (ttf, lo, del_v, del_h) + F/pm
+        # windows + outputs; shared: hnode, hnode_new, area_inv tiles,
+        # gl window, int maps.
         W_pm = ps.pack_J_pm * 128
         Rg = -(-(K + max(P_g, 1)) // 8) * 8
-        b += f * (Lpv * Np + 7 * Lp * Np + K * Lp * T * W_sc)
+        b += f * (Lpv * Np + 4 * Lp * Np + K * Lp * T * W_sc)
+        sh += f * 3 * Lp * Np
         b += f * 2 * Lp * T * W_pm
-        b += 4 * (Rg * T * W_sc + Np + K * Np + P_s * Np)
+        sh += 4 * (Rg * T * W_sc + Np + K * Np + P_s * Np)
         b += f * (2 * Lp * Np + K * Lp * Np)
         if iter_yn:
             b += f * K * Lp * Np
-        return b
+        return b + (sh + Tb - 1) // Tb
     # K3 b3h: F tile + pm window; writes limited F (+resid)
     b += f * (K * Lp * Np + 2 * Lp * T * W_g) + 4 * (K * Np + P_g * Np)
     b += f * K * Lp * Np
@@ -181,7 +198,7 @@ def fct_ale_step_bytes_physical(ps, iter_yn: bool = False) -> "int | None":
     b += f * (Lpv * Np + 7 * Lp * Np + K * Lp * T * W_sc)
     b += 4 * (Np + K * Np + P_s * Np)
     b += f * 2 * Lp * Np
-    return b
+    return b + sh
 
 
 def stress2rhs_bytes_physical(tile: int, J: int, K: int, P: int,
