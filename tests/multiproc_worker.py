@@ -83,6 +83,17 @@ def main():
     for k in keys:
         if k in state:
             out[k] = solver.gather_node(state[k])
+
+    # sharded checkpoint across a REAL process boundary: gather_state's
+    # process_allgather is a collective every process must enter (the
+    # round-5 review caught a process-0-only gating that deadlocked here);
+    # only process 0 writes the file
+    ckdir = outfile + ".ck"
+    solver.save_checkpoint(ckdir, state, step=n_steps, use_orbax=False)
+    if jax.process_index() == 0:
+        assert os.path.exists(os.path.join(ckdir, "meta.json")), (
+            "process 0 must have written the checkpoint")
+
     np.savez(outfile, **out)
     print(f"proc {pid}: OK", flush=True)
 
