@@ -15,8 +15,6 @@ exactly where host FESOM2 calls ``exchange_nod`` (docs/refactoring.md:200,235).
 
 from __future__ import annotations
 
-import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp

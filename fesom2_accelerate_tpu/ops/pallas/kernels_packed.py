@@ -31,7 +31,6 @@ from fesom2_accelerate_tpu.ops.pallas.kernels import (
     _row_iota,
     _tile_spec,
     _vertical_shift_rows,
-    _win_specs,
     pallas_call,
 )
 

@@ -1,11 +1,13 @@
-"""Full FCT-ALE step as FOUR fused Pallas kernels (vlimit=1).
+"""Full FCT-ALE step as THREE fused Pallas kernels (round 5; vlimit 1/2/3).
 
-K1 bounds (a1+a2+a3) -> K2 limit (b1v+b1h+b2+b3v) -> K3 b3h -> K4 update
-(stage c).  Every elementwise stage runs inside the neighboring
-gather/scatter kernel on the same tiles (kernels.py), so the only XLA work
-left is input padding/unpadding.  Scatters and endpoint gathers use split
-narrow/wide windows enabled by the canonical edge orientation
-(mesh/topology.py).
+K1 bounds (a1+a2+a3) -> K2 limit (b1v+b1h+b2+b3v) -> K34 (b3h limiting +
+stage c on one scatter window; kernels_packed.update_fused_pallas).  The
+SPLIT K3 (b3h) -> K4 (stage c) forms remain the sharded path, where the
+separate K3 overlaps the halo collective.  Every elementwise stage runs
+inside the neighboring gather/scatter kernel on the same tiles
+(kernels.py), so the only XLA work left is input padding/unpadding.
+Scatters and endpoint gathers use split narrow/wide windows enabled by
+the canonical edge orientation (mesh/topology.py).
 
 b3-vertical is fused into K2 (before the halo-exchange point): it is
 node-local and owned-node limiter factors are final pre-exchange — the
@@ -40,7 +42,6 @@ from fesom2_accelerate_tpu.ops.pallas import kernels_packed
 from fesom2_accelerate_tpu.ops.pallas.packed import build_packed_plan
 from fesom2_accelerate_tpu.ops.pallas.plan import (
     BLOCK,
-    GatherPlan,
     build_gather_plan,
 )
 
