@@ -42,6 +42,9 @@ def main():
                     help="batch Tb tracers through one compiled chain "
                     "(pallas; reports per-tracer step time)")
     args = ap.parse_args()
+    if args.tracers > 1 and (args.backend != "pallas"
+                             or args.workload != "fct_ale"):
+        ap.error("--tracers requires --backend pallas --workload fct_ale")
 
     import jax
     import jax.numpy as jnp

@@ -115,6 +115,24 @@ def _pair_shift(scr, rows_lo, rows_hi, wb_ref, i, P, p, TN):
     return pltpu.roll(seg, sh, axis=1)[:, :TN]
 
 
+
+def _pertr_spec(rows, TN, n_prefetch=1):
+    """Per-tracer row-stacked operand block on the (tiles, tracers) grid
+    (tracer MINOR): row block t, column block i.  ``n_prefetch`` = number
+    of scalar-prefetch refs the index map receives after (i, t)."""
+    if n_prefetch == 2:
+        return pl.BlockSpec((rows, TN), lambda i, t, w1, w2: (t, i))
+    return pl.BlockSpec((rows, TN), lambda i, t, w: (t, i))
+
+
+def _shared_spec(rows, TN, n_prefetch=1):
+    """Tracer-shared operand block: constant row block 0 across tracer
+    steps, so the pipeline re-uses it in VMEM without refetch."""
+    if n_prefetch == 2:
+        return pl.BlockSpec((rows, TN), lambda i, t, w1, w2: (0, i))
+    return pl.BlockSpec((rows, TN), lambda i, t, w: (0, i))
+
+
 def _scatter_packed(scr, wb_ref, levh_ref, sclev_ref, i, a0, z, TN, Lp, K,
                     Pk, split_pm: bool):
     """Accumulate the edge->node sum from the packed flux window.
@@ -244,10 +262,10 @@ def limit_packed_pallas(adf_v_pad, tt_stacked, area_inv_pad, F_packed,
     P = sum(Pk)
 
     def pertr(rows):
-        return pl.BlockSpec((rows, TN), lambda i, t, wb: (t, i))
+        return _pertr_spec(rows, TN)
 
     def shared(rows):
-        return pl.BlockSpec((rows, TN), lambda i, t, wb: (0, i))
+        return _shared_spec(rows, TN)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -352,13 +370,13 @@ def b3h_packed_pallas(pm_stacked, F_packed, lev_home, g_ind, g_wb, *, tile,
     P = sum(Pk)
 
     def pertr(rows):
-        return pl.BlockSpec((rows, TN), lambda i, t, wb: (t, i))
+        return _pertr_spec(rows, TN)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T, Tb),
         in_specs=[
-            pl.BlockSpec((K, TN), lambda i, t, wb: (0, i)),
+            _shared_spec(K, TN),
             pl.BlockSpec((1, max(P, 1), TN), lambda i, t, wb: (i, 0, 0)),
             pertr(K * Lp),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -532,10 +550,10 @@ def update_packed_pallas(adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad,
     P = sum(Pk)
 
     def pertr(rows):
-        return pl.BlockSpec((rows, TN), lambda i, t, wb: (t, i))
+        return _pertr_spec(rows, TN)
 
     def shared(rows):
-        return pl.BlockSpec((rows, TN), lambda i, t, wb: (0, i))
+        return _shared_spec(rows, TN)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -743,10 +761,10 @@ def update_fused_pallas(adf_v_lim_pad, ttf_pad, hnode_pad, hnode_new_pad,
     P_s, P_g = sum(Pk_s), sum(Pk_g)
 
     def pertr(rows):  # index maps take (i, t, sc_wb, pm_wb)
-        return pl.BlockSpec((rows, TN), lambda i, t, w1, w2: (t, i))
+        return _pertr_spec(rows, TN, n_prefetch=2)
 
     def shared(rows):
-        return pl.BlockSpec((rows, TN), lambda i, t, w1, w2: (0, i))
+        return _shared_spec(rows, TN, n_prefetch=2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # sc_wb, pm_wb

@@ -261,9 +261,9 @@ def build_packed_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
     # clamp (window start shifts down by delta blocks, pair q = delta +
     # d // 128, lane residue d mod 128 static).
     J_pm = J_sc + maxd // BLOCK + 2
-    fused_ok = bool(P_g > 0 and maxd < tile
-                    and J_pm * BLOCK + tile + BLOCK <= Np + tile + BLOCK
-                    and J_pm * BLOCK <= Np)
+    # maxd < tile also bounds the scr_pm mirror reads: pair segments end
+    # at most maxd + BLOCK past the window, within the tile+BLOCK tail
+    fused_ok = bool(P_g > 0 and maxd < tile and J_pm * BLOCK <= Np)
     pm_wb = np.zeros((T, 1 + max(P_g, 1)), dtype=np.int32)
     # rows padded to a multiple of 8: Mosaic requires DMA slice row counts
     # aligned to the (8, 128) tiling

@@ -338,6 +338,13 @@ class ShardedFctAleSolver:
                     f"({', '.join(self.degraded)}); parts failing "
                     f"admissibility: {parts_bad} — every shard falls back "
                     "to the one-hot kernels", RuntimeWarning, stacklevel=2)
+                if self.tracers > 1:
+                    # the batched grids exist only for the packed+DIA
+                    # kernels — fail at construction, not first step
+                    raise ValueError(
+                        "tracers>1 requires the packed+DIA production "
+                        f"forms; this mesh degrades ({self.degraded}) to "
+                        "the one-hot kernels — run with tracers=1")
             # host-side stacked pad maps: init_state must pad with LOCAL
             # arrays (the stacked device md is global in multi-process runs)
             self._padmaps = jax.tree.map(

@@ -146,9 +146,10 @@ def fct_ale_step_bytes_physical(ps, iter_yn: bool = False,
 
     b = 0   # per-tracer bytes
     sh = 0  # shared bytes (amortize by Tb in batched runs)
-    if Tb > 1:
-        assert getattr(ps, "fuse_k34", False) and not ps.fuse_k12, (
-            "the Tb-aware model covers the fused-K34 production path")
+    if Tb > 1 and not (getattr(ps, "fuse_k34", False) and not ps.fuse_k12):
+        # the Tb-aware accounting below covers only the fused-K34
+        # production path; same contract as the other not-covered cases
+        return None
     if ps.fuse_k12 and D and ps.pack_K:
         # fused K1+K2: LO/ttf tile + window reads, adf_v/area_inv tiles,
         # F window; writes tt + pm + av (+resid)
