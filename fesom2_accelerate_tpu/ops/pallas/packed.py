@@ -120,14 +120,22 @@ def _pair_sets(key_tile: np.ndarray, slot: np.ndarray, d: np.ndarray,
 
 def build_packed_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
                       common: "PackedPlan | None" = None,
-                      common_static: "tuple | None" = None):
+                      common_static: "tuple | None" = None,
+                      common_g_offs: "tuple | None" = None,
+                      common_J_pm: "int | None" = None):
     """Build the packed plan, or return None when the mesh's per-tile
     (slot, offset) pair count exceeds ``pack_pmax`` (no offset regularity —
     keep the one-hot kernels).
 
     ``common_static``: (K, Pk_s, Pk_g, J_sc, J_g) to force — the sharded
     solver compiles ONE program over all parts (step.build_pallas_data
-    ``common``); raises AssertionError if this mesh does not fit."""
+    ``common``); raises AssertionError if this mesh does not fit.
+
+    ``common_g_offs`` (+ ``common_J_pm``): force the GLOBAL gather-pair
+    offsets (slot-major, aligned with the common ``Pk_g``) so every part
+    shares the fused-K34 kernel's static lane residues — pairs this part
+    does not use stay masked by its zero indicator rows.  Required for
+    the fused kernel under shard_map (one program over all parts)."""
     edges = mesh.edges
     Ed = edges.shape[0]
     N = mesh.n_nodes
@@ -229,11 +237,26 @@ def build_packed_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
                 sc_wb[t, 1 + P_s + p] = s % BLOCK
     pos_g = {}
     g_offs = [0] * max(P_g, 1)
-    for k in range(K_own):
-        for j, dv in enumerate(sorted(g_glob[k])):
-            p = base_g[k] + j
-            pos_g[(k, dv)] = p
-            g_offs[p] = dv
+    if common_g_offs is not None:
+        # positions/offsets FORCED (fused kernel under shard_map: every
+        # part bakes the same static lane residues); this part's pairs
+        # must be a subset of the common set per slot
+        assert len(common_g_offs) == P_g
+        g_offs[:P_g] = [int(o) for o in common_g_offs]
+        for k in range(K):
+            for j in range(Pk_g[k]):
+                p = base_g[k] + j
+                pos_g[(k, g_offs[p])] = p
+        for k in range(K_own):
+            for dv in g_glob[k]:
+                assert (k, int(dv)) in pos_g, (
+                    "part gather pair outside the common offset set")
+    else:
+        for k in range(K_own):
+            for j, dv in enumerate(sorted(g_glob[k])):
+                p = base_g[k] + j
+                pos_g[(k, dv)] = p
+                g_offs[p] = dv
     for (k, dv), p in pos_g.items():
         s = t0s + dv - g_wbk.astype(np.int64) * BLOCK
         # (tile, pair) combinations with no edge in that tile may fall
@@ -260,10 +283,14 @@ def build_packed_plan(mesh, tile: int, Np: int, *, pack_pmax: int = 16,
     # reaches its n1 endpoint); J_pm adds headroom for the top-of-mesh
     # clamp (window start shifts down by delta blocks, pair q = delta +
     # d // 128, lane residue d mod 128 static).
-    J_pm = J_sc + maxd // BLOCK + 2
+    # the offsets actually baked into the static rolls (common union when
+    # forced) drive the window/mirror bounds
+    maxd_eff = max([maxd] + [int(o) for o in g_offs[:P_g]])
+    J_pm = (common_J_pm if common_J_pm is not None
+            else J_sc + maxd_eff // BLOCK + 2)
     # maxd < tile also bounds the scr_pm mirror reads: pair segments end
     # at most maxd + BLOCK past the window, within the tile+BLOCK tail
-    fused_ok = bool(P_g > 0 and maxd < tile and J_pm * BLOCK <= Np)
+    fused_ok = bool(P_g > 0 and maxd_eff < tile and J_pm * BLOCK <= Np)
     pm_wb = np.zeros((T, 1 + max(P_g, 1)), dtype=np.int32)
     # rows padded to a multiple of 8: Mosaic requires DMA slice row counts
     # aligned to the (8, 128) tiling

@@ -501,6 +501,12 @@ def build_pallas_data(mesh: Mesh, common: "PallasStatic | None" = None, *,
                 common_static=(common.pack_K, common.pack_Pk_s,
                                common.pack_Pk_g, common.pack_J_sc,
                                common.pack_J_g),
+                # fused sharded mode: every part bakes the COMMON offsets
+                # so the fused kernel's static rolls match across parts
+                common_g_offs=(common.pack_g_offs
+                               if common.fuse_k34 else None),
+                common_J_pm=(common.pack_J_pm
+                             if common.fuse_k34 else None),
             )
         else:
             pk = None
@@ -815,12 +821,17 @@ def fct_ale_step_pallas_padded(pd: PallasData, ps: PallasStatic,
     overlap = exchange is not None and ps.n_fix_tiles > 0
     pm_x = exchange(pm) if exchange is not None else pm
 
-    if ps.pack_K and ps.fuse_k34 and exchange is None:
+    if ps.pack_K and ps.fuse_k34 and (exchange is None
+                                       or ps.n_fix_tiles == 0):
         # Fused K3+K4: the b3h limiting runs on K4's F scatter window and
         # stage c consumes the limited values from VMEM — K3's separate
         # pass (aligned F read + pm window + limited-F write/re-read)
-        # disappears.  Only for exchange-free programs: the sharded path
-        # needs the separate K3 to overlap the collective.
+        # disappears.  With an exchange present (fused SHARDED mode,
+        # ShardedFctAleSolver(fused=True)): the collective completes
+        # first and the fused kernel consumes the exchanged factors —
+        # the right trade when the interconnect is fast (an ICI halo
+        # slab is ~0.2 MB ≈ microseconds, vs ~0.2 ms of forgone fusion
+        # the split-overlap path pays to hide it).
         fused = kernels_packed.update_fused_pallas(
             av_out, ttf, state["hnode"], state["hnode_new"], fct_LO,
             state["del_ttf_advvert"], state["del_ttf_advhoriz"],
@@ -1071,7 +1082,7 @@ def fct_ale_step_pallas_padded_batched(pd: PallasData, ps: PallasStatic,
     overlap = exchange is not None and ps.n_fix_tiles > 0
     pm_x = exchange(pm) if exchange is not None else pm
 
-    if ps.fuse_k34 and exchange is None:
+    if ps.fuse_k34 and (exchange is None or ps.n_fix_tiles == 0):
         fused = kernels_packed.update_fused_pallas(
             av_out, ttf, state["hnode"], state["hnode_new"], fct_LO,
             state["del_ttf_advvert"], state["del_ttf_advhoriz"],

@@ -109,10 +109,15 @@ def _common_dia(statics):
     return dict(a3f_dia_D=len(union), a3f_dia_offs=tuple(union))
 
 
-def _common_packed(statics):
+def _common_packed(statics, fused: bool = False):
     """Unify the packed-layout static across parts (element-wise max of the
     per-slot pair tuples, padded to the max slot count); packed only if
-    EVERY part admits it — shard_map compiles one program."""
+    EVERY part admits it — shard_map compiles one program.
+
+    ``fused``: build the common static for the FUSED-K34 sharded mode —
+    the per-slot gather offsets become the UNION across parts (every part
+    bakes the same static lane residues; absent pairs stay masked by each
+    part's zero indicator rows)."""
     if any(s.pack_K == 0 for s in statics):
         return dict(pack_K=0, pack_Pk_s=(), pack_Pk_g=(),
                     pack_J_sc=0, pack_J_g=0, pack_J_pm=0,
@@ -126,13 +131,36 @@ def _common_packed(statics):
                 out[k] = max(out[k], v)
         return tuple(out)
 
+    J_sc = max(s.pack_J_sc for s in statics)
+    if fused:
+        if any(not s.fuse_k34 for s in statics):
+            raise ValueError(
+                "fused sharded mode needs every part to admit the fused "
+                "K3+K4 form (a part has fuse_k34 False)")
+        per_slot = [set() for _ in range(K)]
+        for s in statics:
+            base = 0
+            for k, n in enumerate(s.pack_Pk_g):
+                per_slot[k].update(int(o) for o in s.pack_g_offs[base:base + n])
+                base += n
+        Pk_g = tuple(len(x) for x in per_slot)
+        offs = []
+        for k in range(K):
+            offs += sorted(per_slot[k])
+        maxd = max(offs) if offs else 0
+        return dict(
+            pack_K=K, pack_Pk_s=merge("pack_Pk_s"), pack_Pk_g=Pk_g,
+            pack_J_sc=J_sc, pack_J_g=max(s.pack_J_g for s in statics),
+            pack_J_pm=J_sc + maxd // 128 + 2,
+            pack_g_offs=tuple(offs), fuse_k34=True,
+        )
+
     return dict(
         pack_K=K, pack_Pk_s=merge("pack_Pk_s"), pack_Pk_g=merge("pack_Pk_g"),
-        pack_J_sc=max(s.pack_J_sc for s in statics),
+        pack_J_sc=J_sc,
         pack_J_g=max(s.pack_J_g for s in statics),
-        # fused K3+K4 stays OFF on the sharded path: the exchange/compute
-        # overlap needs the separate K3 (interior sweep + fixup), and the
-        # fused kernel's static per-pair offsets differ across parts
+        # split mode (default): the exchange/compute overlap needs the
+        # separate K3 (interior sweep + fixup), so fused K34 stays off
         pack_J_pm=max(s.pack_J_pm for s in statics),
         pack_g_offs=(), fuse_k34=False,
     )
@@ -205,7 +233,7 @@ class ShardedFctAleSolver:
                  devices=None, axis_name: str = "p", backend: str = "xla",
                  exchange: str = "auto",
                  part_counts: "np.ndarray | None" = None,
-                 tracers: int = 1):
+                 tracers: int = 1, fused: bool = False):
         self.mesh = mesh
         self.cfg = cfg
         self.axis_name = axis_name
@@ -218,6 +246,15 @@ class ShardedFctAleSolver:
         assert tracers == 1 or backend == "pallas", (
             "tracer batching is pallas-only")
         self.tracers = tracers
+        # fused=True (pallas only): run the FUSED K3+K4 chain per shard —
+        # the exchange completes BEFORE the b3h limiting instead of
+        # overlapping a split K3.  The right trade on fast interconnects:
+        # an ICI halo slab is ~0.2 MB (microseconds) while the split
+        # chain forgoes ~0.2 ms of fusion per step to hide it
+        # (BASELINE.md "Sharded-program overhead").
+        assert not fused or backend == "pallas", (
+            "fused sharded mode is pallas-only")
+        self.fused = fused
         devices = devices if devices is not None else jax.devices()
         self.n_parts = len(devices)
         self.jax_mesh = JaxMesh(np.asarray(devices), (axis_name,))
@@ -286,6 +323,11 @@ class ShardedFctAleSolver:
             # split: K3 overlaps the exchange, the fixup follows it
             halo_masks = []
             for p in range(self.n_parts):
+                if fused:
+                    # no interior/fixup split: the exchange completes
+                    # before the fused K34 consumes the factors
+                    halo_masks.append(None)
+                    continue
                 hm = np.zeros(pm.local_meshes[p].n_nodes, dtype=bool)
                 hm[:pm.H] = True
                 hm[pm.H + pm.B:pm.H + pm.B + pm.H] = True
@@ -311,7 +353,7 @@ class ShardedFctAleSolver:
                 n_fix_tiles=max(s.n_fix_tiles for s in statics),
                 a3f_un_nblocks=max(s.a3f_un_nblocks for s in statics),
                 **_common_dia(statics),
-                **_common_packed(statics),
+                **_common_packed(statics, fused=fused),
             )
             pds = [pstep.build_pallas_data(m, common=common, halo_mask=hm,
                                            xp=np)[0]

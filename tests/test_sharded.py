@@ -348,3 +348,38 @@ def test_sharded_tracers_match_single(setup, iter_yn):
             np.testing.assert_array_equal(
                 np.asarray(g[k][t]), per32[t][k],
                 err_msg=f"gather_state[{k}][t={t}]")
+
+
+@pytest.mark.parametrize("iter_yn", [False, True])
+def test_sharded_fused_matches_single(setup, iter_yn):
+    """FUSED sharded mode (ShardedFctAleSolver(fused=True)): the exchange
+    completes before the fused K3+K4 chain consumes the factors — no
+    interior/fixup split.  Parts bake COMMON static lane residues (the
+    per-slot union of gather offsets); must match the single-device XLA
+    step exactly at f32 rounding."""
+    from fesom2_accelerate_tpu.ops.pallas import kernels as pk
+
+    mesh, fields = setup
+    fields32 = {k: v.astype(np.float32) for k, v in fields.items()}
+    cfg = FctAleConfig(dt=0.7, iter_yn=iter_yn, dtype=jnp.float32,
+                       flux_eps=1e-7)
+    ref_solver = FctAleSolver(mesh, cfg)
+    ref_out = ref_solver.step(ref_solver.init_state(fields32))
+
+    pk.set_interpret(True)
+    try:
+        sh = ShardedFctAleSolver(mesh, cfg, backend="pallas", fused=True)
+        assert sh.ps.fuse_k34 and sh.ps.n_fix_tiles == 0
+        assert sh.ps.pack_K > 0 and sh.degraded == []
+        out = sh.step(sh.init_state(fields32))
+    finally:
+        pk.set_interpret(False)
+
+    node_keys = ["fct_plus", "fct_minus", "fct_ttf_max", "fct_ttf_min"]
+    node_keys += (["fct_LO"] if iter_yn
+                  else ["del_ttf_advvert", "del_ttf_advhoriz"])
+    for k in node_keys:
+        got = sh.gather_node(out[k])[: mesh.n_layers]
+        ref = np.asarray(ref_out[k])
+        err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1.0)
+        assert err < 2e-6, f"sharded-fused[{k}] relerr {err:.2e}"
