@@ -383,3 +383,41 @@ def test_sharded_fused_matches_single(setup, iter_yn):
         ref = np.asarray(ref_out[k])
         err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1.0)
         assert err < 2e-6, f"sharded-fused[{k}] relerr {err:.2e}"
+
+
+def test_sharded_fused_tracers(setup):
+    """Fused sharded mode composes with tracer batching: exchange of all
+    tracers' factors in one collective, then the batched fused K3+K4."""
+    from fesom2_accelerate_tpu.ops.pallas import kernels as pk
+
+    mesh, fields = setup
+    Tb = 2
+    cfg = FctAleConfig(dt=0.7, dtype=jnp.float32, flux_eps=1e-7)
+    per = [fields] + [random_fields(mesh, seed=70 + t)
+                      for t in range(1, Tb)]
+    per32 = [{k: v.astype(np.float32) for k, v in f.items()} for f in per]
+    refs = []
+    for t in range(Tb):
+        s = dict(per32[t])
+        s.update({k: per32[0][k] for k in ("hnode", "hnode_new")})
+        solver = FctAleSolver(mesh, cfg)
+        refs.append(solver.step(solver.init_state(s)))
+    batched = {k: per32[0][k] for k in ("hnode", "hnode_new")}
+    for k in per32[0]:
+        if k not in batched:
+            batched[k] = np.stack([f[k] for f in per32])
+    pk.set_interpret(True)
+    try:
+        sh = ShardedFctAleSolver(mesh, cfg, backend="pallas", tracers=Tb,
+                                 fused=True)
+        assert sh.ps.fuse_k34 and sh.ps.n_fix_tiles == 0
+        out = sh.step(sh.init_state(batched))
+    finally:
+        pk.set_interpret(False)
+    L = mesh.n_layers
+    for k in ("fct_plus", "del_ttf_advvert", "del_ttf_advhoriz"):
+        got = sh.gather_node(out[k]).reshape(Tb, -1, mesh.n_nodes)[:, :L]
+        for t in range(Tb):
+            ref = np.asarray(refs[t][k])
+            err = np.abs(got[t] - ref).max() / max(np.abs(ref).max(), 1.0)
+            assert err < 2e-6, f"fused-tracers[{k}][t={t}] relerr {err:.2e}"
